@@ -1,0 +1,103 @@
+"""Benchmark: LJ13 sampling with exact log-prob, samples/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline task (BASELINE.md): draw LJ13 flow samples *with* exact
+log-density — the reference's most expensive inference path
+(`ecnf/cnf/sample_and_log_prob.py:97-149`: Dopri5 + D-column exact trace
+per stage).  Fixed-step Dopri5 (20 steps, the reference's 0.05 step-size
+option) is used so the measured cost is deterministic and independent of
+model weights; the exact trace runs all D=39 Jacobian columns.
+
+vs_baseline: the reference cannot run in this container (diffrax/distrax
+absent), so the recorded baseline is this same program measured on the host
+CPU (JAX_PLATFORMS=cpu) — a *favorable-to-the-baseline* proxy, since this
+framework's batched CPU path is itself faster than the reference's
+per-sample vmap+diffrax stack.  Override with ECNF_BENCH_BASELINE.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured on this machine (see module docstring): our own CPU throughput on
+# the identical program (JAX_PLATFORMS=cpu, batch 16, best of 2: 64.1 s /
+# 16 samples), in samples/s.
+DEFAULT_CPU_BASELINE = float(os.environ.get("ECNF_BENCH_BASELINE", "0.25"))
+
+BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "256"))
+REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
+
+
+def main() -> None:
+    from ecnf_tpu.cnf.build import build_cnf
+    from ecnf_tpu.cnf.sampling import SolveConfig, sample_and_log_prob_cnf
+
+    n_nodes, dim = 13, 3
+    cnf = build_cnf(
+        n_frames=n_nodes,
+        dim=dim,
+        sigma_min=0.01,
+        base_scale=1.0,
+        n_blocks_egnn=3,
+        mlp_units=(128, 128, 128),
+        n_invariant_feat_hidden=64,
+        time_embedding_dim=8,
+        n_features=1,
+    )
+    feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
+    x0 = jnp.zeros((2, n_nodes * dim))
+    params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats[:2])
+
+    cfg = SolveConfig(use_fixed_step_size=True, step_size=0.05)
+
+    def run(key):
+        return sample_and_log_prob_cnf(
+            cnf, params, key, BATCH, features=feats, approx=False, cfg=cfg
+        )
+
+    run_jit = jax.jit(run)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    x1, log_q = run_jit(key)
+    jax.block_until_ready((x1, log_q))
+    compile_and_first = time.perf_counter() - t0
+    print(f"compile+first run: {compile_and_first:.2f}s", file=sys.stderr)
+
+    times = []
+    for i in range(REPS):
+        key = jax.random.PRNGKey(2 + i)
+        t0 = time.perf_counter()
+        out = run_jit(key)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    throughput = BATCH / best
+    n_chips = jax.device_count()
+    per_chip = throughput / n_chips
+
+    print(
+        f"device={jax.devices()[0].device_kind} batch={BATCH} "
+        f"best={best*1e3:.1f}ms throughput={throughput:.1f} samples/s "
+        f"({per_chip:.1f}/chip, {n_chips} chip(s))",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "lj13_sample_with_exact_logprob",
+                "value": round(per_chip, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(per_chip / DEFAULT_CPU_BASELINE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""CNF sampling and exact / Hutchinson log-density — batched ODE solves.
+
+Behavioral parity with the reference's `ecnf/cnf/sample_and_log_prob.py`
+(`sample_cnf :11-38`, `get_log_prob :41-94`, `sample_and_log_prob_cnf
+:97-149`), re-designed for TPU:
+
+- One batched ODE solve per call (the reference vmaps per-sample diffrax
+  solves); every RK stage is a full-batch network evaluation.
+- The divergence rides in the state as an extra column (``[B, D+1]``), so
+  the adaptive controller's error norm covers the joint (x, logdet) state —
+  same as diffrax over the reference's tuple state.
+- Exact trace = D forward-mode JVP columns of the *batched* field
+  (`ecnf_tpu/ops/divergence.py`), optionally chunked; Hutchinson uses one
+  fixed Gaussian probe per sample, drawn once per call (the reference's
+  single fixed-eps semantics, `sample_and_log_prob.py:55,75-77`).
+
+Known reference quirk (not reproduced): its fixed-step `sample_and_log_prob`
+branch passes ``y0=x0`` without the log-det slot
+(`sample_and_log_prob.py:140`) and would crash; here the fixed-step path
+carries the augmented state correctly.
+"""
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ecnf_tpu.cnf.core import FlowMatchingCNF
+from ecnf_tpu.ops.ode import odeint, ODEStats
+from ecnf_tpu.ops.divergence import (
+    value_and_exact_divergence,
+    value_and_hutchinson_divergence,
+)
+
+
+@dataclass(frozen=True)
+class SolveConfig:
+    """ODE-solve settings (static / hashable, safe as a jit constant).
+
+    Defaults match the reference's diffrax calls
+    (`sample_and_log_prob.py:14-16,36`): Dopri5, rtol=atol=1e-5, dtmin=1e-5
+    adaptive, or fixed step 0.05.
+    """
+
+    use_fixed_step_size: bool = False
+    rtol: float = 1e-5
+    atol: float = 1e-5
+    dtmin: float = 1e-5
+    step_size: float = 0.05
+    max_steps: int = 4096
+    trace_column_chunk: Optional[int] = None
+
+
+def _solve(func, y0, t0, t1, cfg: SolveConfig) -> Tuple[jax.Array, ODEStats]:
+    return odeint(
+        func,
+        y0,
+        t0,
+        t1,
+        use_fixed_step_size=cfg.use_fixed_step_size,
+        rtol=cfg.rtol,
+        atol=cfg.atol,
+        dtmin=cfg.dtmin,
+        step_size=cfg.step_size,
+        max_steps=cfg.max_steps,
+    )
+
+
+def sample_cnf(
+    cnf: FlowMatchingCNF,
+    params,
+    key: jax.Array,
+    batch_size: int,
+    features: Optional[jax.Array] = None,
+    cfg: SolveConfig = SolveConfig(),
+) -> jax.Array:
+    """Draw ``[batch_size, D]`` flow samples by integrating t: 0 -> 1.
+
+    Parity: reference `sample_cnf` (`sample_and_log_prob.py:11-38`), batched.
+    """
+
+    def func(t, y):
+        return cnf.apply(params, y, t, features)
+
+    x0 = cnf.sample_base(key, (batch_size,))
+    x1, _ = _solve(func, x0, 0.0, 1.0, cfg)
+    return x1
+
+
+def _augmented_field(cnf, params, features, approx: bool, eps, cfg: SolveConfig):
+    """Vector field on the ``[B, D+1]`` (x, logdet) augmented state."""
+
+    def func(t, y):
+        x = y[:, :-1]
+
+        def f_x(xb):
+            return cnf.apply(params, xb, t, features)
+
+        if approx:
+            v, div = value_and_hutchinson_divergence(f_x, x, eps)
+        else:
+            v, div = value_and_exact_divergence(
+                f_x, x, column_chunk=cfg.trace_column_chunk
+            )
+        return jnp.concatenate([v, div[:, None]], axis=-1)
+
+    return func
+
+
+def get_log_prob(
+    cnf: FlowMatchingCNF,
+    params,
+    x: jax.Array,
+    key: jax.Array,
+    features: Optional[jax.Array] = None,
+    approx: bool = False,
+    cfg: SolveConfig = SolveConfig(),
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Log-density of ``[B, D]`` data points by integrating t: 1 -> 0.
+
+    Returns ``(log_p, log_prob_base, delta_log_lik)``, each ``[B]``.
+    Parity: reference `get_log_prob` (`sample_and_log_prob.py:41-94`):
+    ``log_p = log_prob_base(x0) + delta`` with ``delta`` the accumulated
+    divergence along the reverse solve.
+    """
+    B, D = x.shape
+    eps = jax.random.normal(key, (B, D)) if approx else None
+    func = _augmented_field(cnf, params, features, approx, eps, cfg)
+    y0 = jnp.concatenate([x, jnp.zeros((B, 1), x.dtype)], axis=-1)
+    y1, _ = _solve(func, y0, 1.0, 0.0, cfg)
+    x0, delta_log_lik = y1[:, :-1], y1[:, -1]
+    log_prob_base = cnf.log_prob_base(x0)
+    log_p = log_prob_base + delta_log_lik
+    return log_p, log_prob_base, delta_log_lik
+
+
+def sample_and_log_prob_cnf(
+    cnf: FlowMatchingCNF,
+    params,
+    key: jax.Array,
+    batch_size: int,
+    features: Optional[jax.Array] = None,
+    approx: bool = False,
+    cfg: SolveConfig = SolveConfig(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample and exactly score ``[batch_size, D]`` points in one forward solve.
+
+    Returns ``(x1, log_q)``.  Parity: reference `sample_and_log_prob_cnf`
+    (`sample_and_log_prob.py:97-149`): ``log_q = log_prob_base(x0) - delta``.
+    """
+    key_base, key_eps = jax.random.split(key)
+    x0, log_prob_base = cnf.sample_and_log_prob_base(key_base, (batch_size,))
+    B, D = x0.shape
+    eps = jax.random.normal(key_eps, (B, D)) if approx else None
+    func = _augmented_field(cnf, params, features, approx, eps, cfg)
+    y0 = jnp.concatenate([x0, jnp.zeros((B, 1), x0.dtype)], axis=-1)
+    y1, _ = _solve(func, y0, 0.0, 1.0, cfg)
+    x1, delta_log_lik = y1[:, :-1], y1[:, -1]
+    log_q = log_prob_base - delta_log_lik
+    return x1, log_q

@@ -1,0 +1,178 @@
+"""E(n)-equivariant GNN vector field — dense-edge, batched-first.
+
+Math parity with the reference's `ecnf/nets/egnn.py:15-190` (EGCL message
+MLP on ``[h_sender, h_receiver, |x_s - x_r|^2]``, variance-scaled coordinate
+gate, ``C + |vec|`` normalization, sigmoid-gated feature aggregation,
+``1/(N-1)`` and ``1/sqrt(N-1)`` scalings, residuals, output recentring and
+learnable ``final_scaling``) — re-architected for TPU:
+
+- **Dense edges.** The reference gathers per-edge tensors through explicit
+  sender/receiver index lists and aggregates with ``e3nn.scatter_sum``
+  (`egnn.py:73-104`).  Here edges live on a dense ``[B, N, N]`` lattice with
+  a diagonal mask; "scatter-sum over receivers" becomes a masked sum over
+  the sender axis (an einsum the MXU loves), and gathers disappear entirely.
+- **Fused concat layers.** Every ``concat -> Dense`` becomes split matmuls
+  on compact operands (see `ecnf_tpu/models/mlp.py`): the hot
+  ``[B, N, N, 2H+1] @ W`` edge matmul is decomposed into two ``[B, N, H]``
+  matmuls plus a rank-1 length term, saving a factor ~N of FLOPs and the
+  whole concat tensor of HBM traffic.
+- **Batched-first.** No vmap wrapper: batch is a leading dim everywhere
+  (the reference auto-vmaps rank-3 inputs at `egnn.py:136-141`).
+"""
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ecnf_tpu.ops.graph import dense_edge_mask, pairwise_difference
+from ecnf_tpu.ops.numerics import safe_norm
+from ecnf_tpu.models.mlp import MLP, StableMLP, ConcatDense
+
+
+class EGCL(nn.Module):
+    """One E(n)-equivariant graph convolution layer (dense edges).
+
+    Attribute parity with reference `ecnf/nets/egnn.py:15-47`.
+    """
+
+    mlp_units: Sequence[int]
+    n_invariant_feat_hidden: int
+    activation_fn: Callable = jax.nn.silu
+    residual_h: bool = True
+    residual_x: bool = True
+    stable_mlp: bool = False
+    normalization_constant: float = 1.0
+    variance_scaling_init: float = 0.001
+
+    @nn.compact
+    def __call__(
+        self, vectors: jax.Array, h: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Args:
+            vectors: ``[B, N, D]`` equivariant coordinates.
+            h: ``[B, N, H]`` invariant features.
+
+        Returns:
+            ``(vectors_out [B, N, D], features_out [B, N, H])``.
+        """
+        assert vectors.ndim == 3 and h.ndim == 3
+        B, N, D = vectors.shape
+        avg_num_neighbours = N - 1
+        mlp_cls = StableMLP if self.stable_mlp else MLP
+
+        # Dense pairwise geometry: diff[b, i, j] = x_i - x_j (receiver i,
+        # sender j; reference `egnn.py:73`).  safe_norm reports 1 on the
+        # (zero-vector) diagonal, keeping gradients finite; the diagonal is
+        # masked out of every aggregation below.
+        diff = pairwise_difference(vectors)  # [B, N, N, D]
+        lengths = safe_norm(diff, axis=-1, keepdims=True)  # [B, N, N, 1]
+        mask = dense_edge_mask(N, dtype=vectors.dtype)  # [N, N]
+        mask4 = mask[None, :, :, None]
+
+        # phi_e on [h_sender, h_receiver, |diff|^2] (reference `egnn.py:76-79`)
+        # with the concat fused away: sender j broadcasts along axis i (1),
+        # receiver i along axis j (2).
+        m_ij = mlp_cls(self.mlp_units, activation=self.activation_fn, activate_final=True)(
+            h[:, None, :, :],  # senders j
+            h[:, :, None, :],  # receivers i
+            lengths**2,
+        )  # [B, N, N, U]
+
+        # Coordinate update (reference `egnn.py:82-96`).
+        phi_x_out = mlp_cls(
+            self.mlp_units, activation=self.activation_fn, activate_final=True
+        )(m_ij)
+        phi_x_out = nn.Dense(
+            1,
+            kernel_init=nn.initializers.variance_scaling(
+                self.variance_scaling_init, "fan_avg", "uniform"
+            ),
+        )(phi_x_out)  # [B, N, N, 1]
+        shifts_ij = phi_x_out * diff / (self.normalization_constant + lengths)
+        shifts_i = jnp.sum(shifts_ij * mask4, axis=2)  # sum over senders j
+        vectors_out = shifts_i / avg_num_neighbours
+
+        # Attention-gated feature aggregation (reference `egnn.py:99-106`).
+        gate = jax.nn.sigmoid(nn.Dense(1)(m_ij))  # [B, N, N, 1]
+        m_i = jnp.sum(m_ij * gate * mask4, axis=2) / jnp.sqrt(
+            jnp.asarray(avg_num_neighbours, dtype=vectors.dtype)
+        )  # [B, N, U]
+        features_out = mlp_cls(
+            (*self.mlp_units, self.n_invariant_feat_hidden),
+            activation=self.activation_fn,
+            activate_final=False,
+        )(m_i, h)  # fused concat [m_i, h] (reference `egnn.py:105-106`)
+
+        if self.residual_h:
+            features_out = features_out + h
+        if self.residual_x:
+            vectors_out = vectors_out + vectors
+        return vectors_out, features_out
+
+
+class EGNN(nn.Module):
+    """EGNN torso: per-block time-conditioned EGCLs over dense edges.
+
+    Parity with reference `ecnf/nets/egnn.py:117-190`.
+    """
+
+    n_blocks: int
+    mlp_units: Sequence[int]
+    n_invariant_feat_hidden: int
+    activation_fn: Callable = jax.nn.silu
+    stable_mlp: bool = False
+    residual_h: bool = True
+    residual_x: bool = True
+    normalization_constant: float = 1.0
+    variance_scaling_init: float = 0.001
+
+    @nn.compact
+    def __call__(
+        self,
+        positions: jax.Array,
+        node_features: jax.Array,
+        global_features: jax.Array,
+    ) -> jax.Array:
+        """Args:
+            positions: ``[B, N, D]``.
+            node_features: ``[B, N, H]`` invariant features.
+            global_features: ``[B, T]`` time embedding.
+
+        Returns:
+            ``[B, N, D]`` equivariant vector field.
+        """
+        assert positions.ndim == 3
+        B, N, D = positions.shape
+
+        pos_mean = jnp.mean(positions, axis=-2, keepdims=True)
+        vectors = positions - pos_mean
+        initial_vectors = vectors
+        h = node_features
+
+        for _ in range(self.n_blocks):
+            # Time conditioning: Dense over [h, t_emb] with the per-node
+            # repeat of t_emb fused away (reference `egnn.py:166-167`).
+            h = ConcatDense(self.n_invariant_feat_hidden)(
+                h, jnp.broadcast_to(global_features[:, None, :], (B, 1, global_features.shape[-1]))
+            )
+            vectors, h = EGCL(
+                mlp_units=self.mlp_units,
+                n_invariant_feat_hidden=self.n_invariant_feat_hidden,
+                activation_fn=self.activation_fn,
+                residual_h=self.residual_h,
+                residual_x=self.residual_x,
+                normalization_constant=self.normalization_constant,
+                variance_scaling_init=self.variance_scaling_init,
+                stable_mlp=self.stable_mlp,
+            )(vectors, h)
+
+        if self.residual_x:
+            vectors = vectors - initial_vectors
+
+        # Recentre the output field (reference `egnn.py:186`).
+        vectors = vectors - pos_mean
+        vectors = vectors * self.param(
+            "final_scaling", nn.initializers.ones_init(), ()
+        )
+        return vectors

@@ -1,0 +1,105 @@
+"""Divergence (Jacobian trace) estimators for batched vector fields.
+
+The reference computes the exact divergence per sample via D reverse-mode
+VJPs against the identity (`ecnf/cnf/sample_and_log_prob.py:64-66`) and a
+single-probe Hutchinson estimate via one VJP (`:75-77`), each wrapped in a
+per-sample vmap.  Here both are formulated directly on the *batched* field
+``f: [B, D] -> [B, D]`` so every pass is a full-batch network evaluation on
+the MXU:
+
+- exact: the per-sample Jacobian is block-diagonal across the batch (the
+  network acts sample-wise), so a JVP with basis vector ``e_d`` broadcast
+  over the batch yields column ``d`` of every sample's Jacobian at once.
+  D forward-mode passes total — same FLOP count as the reference but batched,
+  and forward mode avoids storing residuals. Columns can be chunked (scan of
+  vmapped chunks) to bound memory, and — on a mesh — sharded across chips.
+- hutchinson: one JVP with a fixed Rademacher/Gaussian probe per sample,
+  ``div ≈ eps . (J eps)``.
+"""
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+BatchedField = Callable[[jax.Array], jax.Array]  # [B, D] -> [B, D]
+
+
+def value_and_exact_divergence(
+    f: BatchedField, x: jax.Array, column_chunk: Optional[int] = None
+) -> "tuple[jax.Array, jax.Array]":
+    """Field value and exact per-sample divergence in one linearization.
+
+    The ODE's augmented state needs both ``f(x)`` and ``div f(x)`` at every
+    stage; computing them through a single `jax.linearize` shares the primal
+    pass (the reference evaluates the field and its D VJPs separately per
+    sample, `sample_and_log_prob.py:64-66`).
+
+    Args:
+        f: batched field; must act independently per batch element.
+        x: ``[B, D]`` evaluation points.
+        column_chunk: if set, process Jacobian columns in chunks of this size
+            via `lax.scan` (bounds peak memory to ``chunk`` forward passes).
+
+    Returns:
+        ``(f(x) [B, D], divergence [B])``.
+    """
+    B, D = x.shape
+    basis = jnp.eye(D, dtype=x.dtype)
+
+    # Linearize once: the primal (with all its nonlinear activations) is
+    # computed a single time; each Jacobian column is then one application
+    # of the linear map — ~2x cheaper than re-running jvp per column.
+    value, jvp_lin = jax.linearize(f, x)
+
+    def col(e):  # e: [D] -> diag contribution [B]
+        jv = jvp_lin(jnp.broadcast_to(e, (B, D)))
+        # jv[b, :] = J_b @ e ; the diagonal entry is (J_b @ e_d)[d].
+        return jnp.sum(jv * e[None, :], axis=-1)
+
+    if column_chunk is None or column_chunk >= D:
+        return value, jnp.sum(jax.vmap(col)(basis), axis=0)
+
+    # Pad D up to a multiple of the chunk so scan sees a static shape.
+    n_chunks = -(-D // column_chunk)
+    pad = n_chunks * column_chunk - D
+    basis_p = jnp.concatenate([basis, jnp.zeros((pad, D), x.dtype)], axis=0)
+    basis_p = basis_p.reshape(n_chunks, column_chunk, D)
+
+    def scan_body(acc, es):
+        return acc + jnp.sum(jax.vmap(col)(es), axis=0), None
+
+    div, _ = jax.lax.scan(scan_body, jnp.zeros((B,), x.dtype), basis_p)
+    return value, div
+
+
+def exact_divergence(
+    f: BatchedField, x: jax.Array, column_chunk: Optional[int] = None
+) -> jax.Array:
+    """Exact per-sample divergence (see `value_and_exact_divergence`)."""
+    return value_and_exact_divergence(f, x, column_chunk)[1]
+
+
+def value_and_hutchinson_divergence(
+    f: BatchedField, x: jax.Array, eps: jax.Array
+) -> "tuple[jax.Array, jax.Array]":
+    """Field value and Hutchinson trace estimate with a fixed probe.
+
+    ``div ≈ eps . (J eps)`` per sample — equal in expectation (over
+    ``eps ~ N(0, I)``) to the exact trace.  The reference uses a single
+    fixed probe drawn once per datapoint (`sample_and_log_prob.py:55,75-77`);
+    pass that probe as ``eps``.
+
+    Args:
+        x: ``[B, D]``.
+        eps: ``[B, D]`` probe vectors.
+
+    Returns:
+        ``(f(x) [B, D], divergence estimate [B])``.
+    """
+    value, jv = jax.jvp(f, (x,), (eps,))
+    return value, jnp.sum(jv * eps, axis=-1)
+
+
+def hutchinson_divergence(f: BatchedField, x: jax.Array, eps: jax.Array) -> jax.Array:
+    """Hutchinson trace estimate (see `value_and_hutchinson_divergence`)."""
+    return value_and_hutchinson_divergence(f, x, eps)[1]

@@ -1,0 +1,142 @@
+"""Evaluation engine: padded-mask batching, forward/reverse ESS.
+
+Parity with the reference's `ecnf/utils/evaluation.py` (`calculate_forward_ess
+:10-22`, `setup_padded_reshaped_data :25-50`, `eval_fn :59-115`) and the
+reverse-ESS computation in `setup_training.py:166-185`.  The batched scan and
+mask-weighted aggregation compose with batch sharding so masked means stay
+exact across devices/hosts.
+"""
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ecnf_tpu.ops.numerics import get_leading_axis_tree
+
+Data = Any
+Mask = jax.Array
+
+
+def calculate_forward_ess(log_w: jax.Array, mask: jax.Array) -> dict:
+    """Forward effective sample size from log importance weights.
+
+    ``log_w = log p(x) - log q(x)`` for ``x ~ p``.  Log-domain computation
+    with non-finite weights masked (reference `evaluation.py:10-22`).
+    """
+    log_w = jnp.where(mask, log_w, jnp.zeros_like(log_w))
+    log_z_inv = jax.nn.logsumexp(-log_w, b=mask) - jnp.log(jnp.sum(mask))
+    log_z_expectation_p_over_q = jax.nn.logsumexp(log_w, b=mask) - jnp.log(
+        jnp.sum(mask)
+    )
+    log_forward_ess = -log_z_inv - log_z_expectation_p_over_q
+    return {"forward_ess": jnp.exp(log_forward_ess)}
+
+
+def calculate_reverse_ess(log_w: jax.Array) -> jax.Array:
+    """Normalized reverse ESS: ``1 / sum(softmax(log_w)^2) / n``.
+
+    Parity: reference `setup_training.py:182`.
+    """
+    return 1.0 / jnp.sum(jax.nn.softmax(log_w) ** 2) / log_w.shape[0]
+
+
+def setup_padded_reshaped_data(
+    data: Data, interval_length: int, reshape_axis: int = 1
+) -> Tuple[Data, jax.Array]:
+    """Pad axis 0 to a multiple of ``interval_length`` and reshape into
+    batches, returning a validity mask.
+
+    ``reshape_axis=1`` -> ``[n_batches, interval_length, ...]`` (minibatch
+    scan); ``reshape_axis=0`` -> ``[interval_length, n_batches, ...]``
+    (device-leading layout).  Parity: reference `evaluation.py:25-50`.
+    """
+    size = jax.tree_util.tree_leaves(data)[0].shape[0]
+    padding = (interval_length - size % interval_length) % interval_length
+    padded_size = size + padding
+    data_padded = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.zeros((padding, *x.shape[1:]), dtype=x.dtype)], axis=0
+        ),
+        data,
+    )
+    mask = jnp.zeros(padded_size, dtype=jnp.int32).at[jnp.arange(size)].set(1)
+
+    if reshape_axis == 0:
+        reshape = lambda x: jnp.reshape(
+            x, (interval_length, padded_size // interval_length, *x.shape[1:])
+        )
+    else:
+        assert reshape_axis == 1
+        reshape = lambda x: jnp.reshape(
+            x, (padded_size // interval_length, interval_length, *x.shape[1:])
+        )
+    data_reshaped, mask = jax.tree_util.tree_map(reshape, (data_padded, mask))
+    return data_reshaped, mask
+
+
+def eval_fn(
+    x: Data,
+    key: jax.Array,
+    eval_on_test_batch_fn: Optional[
+        Callable[..., Union[Tuple[Any, dict], dict]]
+    ] = None,
+    eval_batch_free_fn: Optional[Callable[..., dict]] = None,
+    batch_size: Optional[int] = None,
+    mask: Optional[Mask] = None,
+) -> Tuple[dict, Optional[Any], Optional[Mask]]:
+    """Scan a per-batch eval fn over padded test data and aggregate with
+    per-batch mask weighting; optionally run a batch-free eval.
+
+    Parity: reference `evaluation.py:59-115` (including the further-data
+    path that flattens per-item extras, e.g. forward log-weights).
+    """
+    info = {}
+    key1, key2 = jax.random.split(key)
+    further_info, flat_mask = None, None
+
+    n_points = get_leading_axis_tree(x)[0]
+    if mask is None:
+        mask = jnp.ones(n_points, dtype=jnp.int32)
+
+    if eval_on_test_batch_fn is not None:
+
+        def scan_fn(carry, xs):
+            x_batch, m_batch, k = xs
+            out = eval_on_test_batch_fn(x_batch, key=k, mask=m_batch)
+            return None, out
+
+        (x_batched, mask_batched), mask_new = setup_padded_reshaped_data(
+            (x, mask), interval_length=batch_size, reshape_axis=1
+        )
+        mask_batched = mask_batched * mask_new
+
+        n_batches = get_leading_axis_tree(x_batched)[0]
+        _, batched_info = jax.lax.scan(
+            scan_fn, None, (x_batched, mask_batched, jax.random.split(key1, n_batches))
+        )
+
+        per_batch_weighting = jnp.sum(mask_batched, axis=-1) / jnp.sum(
+            jnp.sum(mask_batched, axis=-1)
+        )
+        if isinstance(batched_info, dict):
+            info.update(
+                jax.tree_util.tree_map(
+                    lambda v: jnp.sum(per_batch_weighting * v), batched_info
+                )
+            )
+        else:
+            further, per_batch = batched_info
+            info.update(
+                jax.tree_util.tree_map(
+                    lambda v: jnp.sum(per_batch_weighting * v), per_batch
+                )
+            )
+            flat_mask, further_info = jax.tree_util.tree_map(
+                lambda v: v.reshape(v.shape[0] * v.shape[1], *v.shape[2:]),
+                (mask_batched, further),
+            )
+
+    if eval_batch_free_fn is not None:
+        info.update(eval_batch_free_fn(key=key2))
+
+    return info, further_info, flat_mask

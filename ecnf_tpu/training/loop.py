@@ -1,0 +1,191 @@
+"""Generic training loop with eval/checkpoint schedules, resume and
+runtime limits.
+
+Behavioral parity with the reference's `ecnf/utils/loop.py:39-182`
+(`TrainConfig`, `run_training`): linspace eval/checkpoint schedules,
+pre-training eval at iteration -1, per-batch info fan-out to the logger,
+latest-checkpoint resume, runtime-limit extrapolated early stop, final
+history plot for in-memory loggers.  Differences: checkpoints are
+orbax-backed and sharding-aware (`ecnf_tpu/training/checkpoints.py`), and a
+`jax.profiler` trace can be captured around a training slice.
+"""
+import os
+import pathlib
+import time
+from typing import Any, Callable, NamedTuple, Optional, Protocol, Tuple
+
+import jax
+import numpy as np
+
+from ecnf_tpu.ops.numerics import get_leading_axis_tree
+from ecnf_tpu.training.loggers import Logger, ListLogger
+from ecnf_tpu.training.checkpoints import (
+    get_latest_checkpoint,
+    parse_checkpoint_iteration,
+    save_checkpoint,
+    restore_checkpoint,
+)
+
+TrainingStateT = Any
+InitStateFn = Callable[[jax.Array], TrainingStateT]
+UpdateStateFn = Callable[[TrainingStateT], Tuple[TrainingStateT, dict]]
+
+
+class EvalAndPlotFn(Protocol):
+    def __call__(
+        self,
+        state: TrainingStateT,
+        key: jax.Array,
+        iteration_n: int,
+        save: bool,
+        plots_dir: str,
+    ) -> dict: ...
+
+
+class TrainConfig(NamedTuple):
+    """Everything `run_training` needs (reference `loop.py:39-54`)."""
+
+    n_iteration: int
+    logger: Logger
+    seed: int
+    n_checkpoints: int
+    n_eval: int
+    init_state: InitStateFn
+    update_state: UpdateStateFn
+    eval_and_plot_fn: Optional[EvalAndPlotFn]
+    save: bool = True
+    save_dir: str = "/tmp"
+    resume: bool = False
+    use_64_bit: bool = False
+    runtime_limit: Optional[float] = None
+    profile_dir: Optional[str] = None
+
+
+def _schedule(n_iteration: int, n_points: int) -> np.ndarray:
+    """Evenly spaced iteration indices ending at the final iteration.
+
+    Parity: reference `loop.py:77-89` (flip of a reversed linspace).
+    """
+    return np.flip(
+        np.linspace(n_iteration - 1, 0, n_points, dtype="int", endpoint=False)
+    )
+
+
+def run_training(config: TrainConfig):
+    """Generic training script (reference `loop.py:57-182`)."""
+    start_time = time.time()
+
+    if config.use_64_bit:
+        jax.config.update("jax_enable_x64", True)
+
+    if config.save:
+        pathlib.Path(config.save_dir).mkdir(exist_ok=True, parents=True)
+        plots_dir = os.path.join(config.save_dir, "plots")
+        pathlib.Path(plots_dir).mkdir(exist_ok=True)
+        checkpoints_dir = os.path.join(config.save_dir, "model_checkpoints")
+        pathlib.Path(checkpoints_dir).mkdir(exist_ok=True)
+    else:
+        plots_dir = None
+        checkpoints_dir = None
+
+    checkpoint_iter_np = _schedule(config.n_iteration, config.n_checkpoints)
+    checkpoint_iter = set(checkpoint_iter_np.tolist())
+    eval_iter = set(_schedule(config.n_iteration, config.n_eval).tolist())
+
+    key = jax.random.PRNGKey(config.seed)
+    key, subkey = jax.random.split(key)
+    state = config.init_state(subkey)
+
+    start_iter = 0
+    if config.resume and checkpoints_dir is not None:
+        latest = get_latest_checkpoint(checkpoints_dir, key="state_")
+        if latest:
+            start_iter = parse_checkpoint_iteration(latest) + 1
+            state = restore_checkpoint(latest, state)
+            print(f"loaded checkpoint {latest}")
+        else:
+            print("no checkpoint found, starting training from scratch")
+
+    if start_iter == 0 and config.eval_and_plot_fn is not None:
+        key, subkey = jax.random.split(key)
+        eval_info = config.eval_and_plot_fn(state, subkey, -1, config.save, plots_dir)
+        eval_info.update(iteration=-1)
+        config.logger.write(eval_info)
+        print(f"initial model eval complete, eval info: \n {eval_info}")
+
+    profiling = False
+    if config.profile_dir and start_iter == 0:
+        pathlib.Path(config.profile_dir).mkdir(exist_ok=True, parents=True)
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+
+    try:
+        from tqdm.auto import tqdm
+
+        iterator = tqdm(range(start_iter, config.n_iteration))
+    except ImportError:  # pragma: no cover
+        iterator = range(start_iter, config.n_iteration)
+
+    for iteration in iterator:
+        state, info = config.update_state(state)
+
+        leading_info_shape = get_leading_axis_tree(info, 1)
+        if len(leading_info_shape) == 0 or leading_info_shape == (1,):
+            info.update(iteration=iteration)
+            config.logger.write(info)
+        else:
+            for batch_idx in range(leading_info_shape[0]):
+                batch_info = jax.tree_util.tree_map(lambda x: x[batch_idx], info)
+                batch_info.update(iteration=iteration)
+                config.logger.write(batch_info)
+
+        if profiling and iteration >= start_iter + 2:
+            jax.profiler.stop_trace()
+            profiling = False
+
+        if config.eval_and_plot_fn is not None and iteration in eval_iter:
+            key, subkey = jax.random.split(key)
+            eval_info = config.eval_and_plot_fn(
+                state, subkey, iteration, config.save, plots_dir
+            )
+            eval_info.update(iteration=iteration)
+            print(str(eval_info))
+            config.logger.write(eval_info)
+
+        if iteration in checkpoint_iter and config.save:
+            save_checkpoint(checkpoints_dir, iteration, jax.device_get(state))
+
+            # Runtime-limit early stop: extrapolate time to next checkpoint
+            # (reference `loop.py:155-170`).
+            if (
+                config.runtime_limit
+                and iteration > start_iter
+                and np.any(checkpoint_iter_np > iteration)
+            ):
+                next_checkpoint_iter = np.min(
+                    checkpoint_iter_np[checkpoint_iter_np > iteration]
+                )
+                time_diff = (time.time() - start_time) / 3600
+                if (
+                    time_diff
+                    * (next_checkpoint_iter - start_iter)
+                    / max(iteration - start_iter, 1)
+                    > config.runtime_limit
+                ):
+                    break
+
+    if profiling:
+        jax.profiler.stop_trace()
+
+    if isinstance(config.logger, ListLogger):
+        try:
+            from ecnf_tpu.utils.plotting import plot_history
+            import matplotlib.pyplot as plt
+
+            plot_history(config.logger.history)
+            plt.close("all")
+        except Exception:
+            pass
+
+    config.logger.close()
+    return config.logger, state

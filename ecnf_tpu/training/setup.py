@@ -1,0 +1,347 @@
+"""Experiment orchestration: config + data + CNF + mesh -> TrainConfig.
+
+Behavioral parity with the reference's `ecnf/setup_training.py:68-269`
+(zero-CoM the data, optimizer schedule over total minibatch steps, flatten
+coordinates, build the CNF with ``n_features = max + 1``, epoch runner,
+reverse-ESS / test-NLL evaluation, EMA swap on the final eval, distance-
+histogram plotting) — re-architected for TPU:
+
+- **Whole-epoch jit.**  The reference dispatches one jitted step per
+  minibatch from Python (`setup_training.py:150-161`).  Here the full epoch
+  (permute -> reshape to ``[n_batches, B, D]`` -> `lax.scan` of the update)
+  is a single jit-compiled program; host round-trips per epoch: one.
+- **Sharded by construction.**  Steps are compiled against the data mesh:
+  params replicated, batch axis sharded; gradient reductions become ICI
+  all-reduces.  The same program runs on 1 device or N.
+- **Batched eval.**  Reverse-ESS sampling runs `lax.scan` over *batches* of
+  ODE solves (the reference scans 10k single-sample solves,
+  `setup_training.py:166-185`); test NLL uses the batched log-prob
+  (`ecnf_tpu/cnf/sampling.py`) instead of per-sample vmap.
+"""
+import os
+import pathlib
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecnf_tpu.cnf.build import build_cnf
+from ecnf_tpu.cnf.core import FlowMatchingCNF
+from ecnf_tpu.cnf.sampling import (
+    SolveConfig,
+    sample_cnf,
+    get_log_prob,
+    sample_and_log_prob_cnf,
+)
+from ecnf_tpu.ops.numerics import maybe_masked_mean
+from ecnf_tpu.parallel.mesh import get_mesh, replicated, data_sharded
+from ecnf_tpu.targets.data import FullGraphSample
+from ecnf_tpu.training.config import ExperimentConfig
+from ecnf_tpu.training.evaluation import eval_fn, calculate_forward_ess, calculate_reverse_ess
+from ecnf_tpu.training.loggers import setup_logger, WandbLogger
+from ecnf_tpu.training.loop import TrainConfig
+from ecnf_tpu.training.optim import build_optimizer
+from ecnf_tpu.training.state import TrainingState, init_training_state, make_update_fn
+
+LoadDatasetFn = Callable[[Optional[int], Optional[int]], Tuple[FullGraphSample, FullGraphSample]]
+Plotter = Callable[[TrainingState, FullGraphSample, jax.Array], Sequence]
+
+
+def setup_default_plotter(
+    cnf: FlowMatchingCNF,
+    n_nodes: int,
+    dim: int,
+    n_samples_plotting: int,
+    solve_cfg: SolveConfig,
+) -> Plotter:
+    """Distance-histogram plot of flow samples vs train data.
+
+    Parity: reference `setup_training.py:32-65`, with one batched solve
+    instead of a vmap of per-sample solves.
+    """
+
+    def default_plotter(state: TrainingState, train_data_: FullGraphSample, key: jax.Array):
+        import matplotlib.pyplot as plt
+
+        from ecnf_tpu.utils.plotting import (
+            bin_samples_by_dist,
+            get_counts,
+            get_pairwise_distances_for_plotting,
+        )
+
+        features_flat = train_data_.features[0].flatten()
+        feats = jnp.repeat(features_flat[None], n_samples_plotting, axis=0)
+        flow_samples_flat = sample_cnf(
+            cnf, state.params, key, n_samples_plotting, feats, solve_cfg
+        )
+        flow_samples = jnp.reshape(flow_samples_flat, (n_samples_plotting, n_nodes, dim))
+
+        bins_x, count_list = bin_samples_by_dist(
+            [train_data_.positions[:n_samples_plotting]], max_distance=10.0
+        )
+        plotting_n_nodes = train_data_.positions.shape[1]
+        pairwise_distances_flow = get_pairwise_distances_for_plotting(
+            flow_samples, plotting_n_nodes, max_distance=10.0
+        )
+        counts_flow = get_counts(pairwise_distances_flow, bins_x)
+
+        fig1, ax = plt.subplots(1, figsize=(5, 5))
+        ax.stairs(count_list[0], bins_x, label="train samples", alpha=0.4, fill=True)
+        ax.stairs(counts_flow, bins_x, label="flow samples", alpha=0.4, fill=True)
+        ax.legend()
+        return [fig1]
+
+    return default_plotter
+
+
+def setup_training(
+    cfg: ExperimentConfig,
+    load_dataset: LoadDatasetFn,
+    target_log_prob_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    plotter: Optional[Plotter] = None,
+    mesh=None,
+) -> TrainConfig:
+    """Build the full TrainConfig from a typed config (reference
+    `setup_training.py:68-269`)."""
+    tcfg = cfg.training
+    batch_size = tcfg.batch_size
+
+    if tcfg.precision and tcfg.precision != "float32":
+        jax.config.update("jax_default_matmul_precision", tcfg.precision)
+
+    if mesh is None:
+        mesh = get_mesh()
+
+    logger = setup_logger(cfg.logger, save_dir=tcfg.save_dir or ".", save=tcfg.save)
+    save_path = tcfg.save_dir or "."
+    pathlib.Path(save_path).mkdir(exist_ok=True, parents=True)
+
+    train_data_, test_data_ = load_dataset(tcfg.train_set_size, tcfg.test_set_size)
+
+    # Zero-CoM the data (reference `setup_training.py:91-94`).
+    train_data_ = train_data_._replace(
+        positions=train_data_.positions
+        - jnp.mean(train_data_.positions, axis=1, keepdims=True)
+    )
+    test_data_ = test_data_._replace(
+        positions=test_data_.positions
+        - jnp.mean(test_data_.positions, axis=1, keepdims=True)
+    )
+
+    n_train, n_nodes, dim = train_data_.positions.shape
+    ds_size = n_train
+
+    ocfg = tcfg.optimizer
+    n_batches_per_epoch = max(ds_size // batch_size, 1)
+    optimizer = build_optimizer(
+        init_lr=ocfg.init_lr,
+        use_schedule=ocfg.use_schedule,
+        peak_lr=ocfg.peak_lr,
+        end_lr=ocfg.end_lr,
+        n_iter_warmup=ocfg.n_iter_warmup,
+        n_iter_total=tcfg.n_training_iter * n_batches_per_epoch,
+        optimizer_name=ocfg.optimizer,
+    )
+
+    # Flatten to [B, N*D] coordinates and [B, N] integer features.
+    flat = lambda a: jnp.reshape(a, (a.shape[0], -1))
+    train_pos_flat = flat(train_data_.positions)
+    train_features_flat = flat(train_data_.features)
+    test_pos_flat = flat(test_data_.positions)
+    test_features_flat = flat(test_data_.features)
+
+    net_cfg = cfg.flow.network
+    cnf = build_cnf(
+        n_frames=n_nodes,
+        dim=dim,
+        sigma_min=cfg.flow.sigma_min,
+        base_scale=cfg.flow.base_scale,
+        n_blocks_egnn=net_cfg.n_blocks_egnn,
+        mlp_units=net_cfg.mlp_units,
+        n_invariant_feat_hidden=net_cfg.n_invariant_feat_hidden,
+        time_embedding_dim=net_cfg.time_embedding_dim,
+        n_features=int(jnp.max(train_features_flat)) + 1,
+        stable_mlp=net_cfg.stable_mlp,
+    )
+
+    solve_cfg = SolveConfig(
+        use_fixed_step_size=tcfg.use_fixed_step_size,
+        trace_column_chunk=tcfg.trace_column_chunk,
+    )
+
+    update_fn = make_update_fn(
+        cnf,
+        optimizer,
+        use_ema=tcfg.use_ema,
+        ema_beta=tcfg.ema_beta,
+        mesh=None,  # the epoch runner below is sharded as a whole
+    )
+
+    def init_state(key: jax.Array) -> TrainingState:
+        return init_training_state(
+            cnf,
+            optimizer,
+            key,
+            example_x=train_pos_flat[:2],
+            example_features=train_features_flat[:2],
+            use_ema=tcfg.use_ema,
+        )
+
+    n_batches = ds_size // batch_size
+
+    def _epoch(state: TrainingState, pos, feats):
+        """One epoch: permute, reshape to minibatches, scan the update."""
+        key, subkey = jax.random.split(state.key)
+        perm = jax.random.permutation(subkey, ds_size)[: n_batches * batch_size]
+        state = state._replace(key=key)
+        pos_b = pos[perm].reshape(n_batches, batch_size, -1)
+        feat_b = feats[perm].reshape(n_batches, batch_size, -1)
+
+        def scan_body(st, xs):
+            xb, fb = xs
+            st, info = update_fn(st, xb, fb)
+            return st, info
+
+        state, infos = jax.lax.scan(scan_body, state, (pos_b, feat_b))
+        return state, infos
+
+    rep = replicated(mesh)
+    data_shard = data_sharded(mesh)
+    epoch_jit = jax.jit(
+        _epoch,
+        in_shardings=(rep, data_shard, data_shard),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+    train_pos_dev = jax.device_put(train_pos_flat, data_shard)
+    train_feat_dev = jax.device_put(train_features_flat, data_shard)
+
+    def run_epoch(state: TrainingState):
+        state, infos = epoch_jit(state, train_pos_dev, train_feat_dev)
+        return state, jax.device_get(infos)
+
+    # --- Evaluation --------------------------------------------------------
+
+    if target_log_prob_fn is not None and tcfg.eval_n_model_samples is not None:
+        eval_sample_batch = min(tcfg.eval_batch_size, tcfg.eval_n_model_samples)
+        n_eval_batches = max(tcfg.eval_n_model_samples // eval_sample_batch, 1)
+
+        def eval_batch_free_fn(key: jax.Array, state: TrainingState) -> dict:
+            feats = jnp.repeat(train_features_flat[:1], eval_sample_batch, axis=0)
+
+            def forward(carry, k):
+                # NOTE: the reference passes `eval_exact_log_prob` directly as
+                # `approx` here (`setup_training.py:171`), inverting its own
+                # flag; we implement the intended semantics (exact when the
+                # flag says exact) — divergence documented.
+                samples, log_q = sample_and_log_prob_cnf(
+                    cnf,
+                    state.params,
+                    k,
+                    eval_sample_batch,
+                    features=feats,
+                    approx=not tcfg.eval_exact_log_prob,
+                    cfg=solve_cfg,
+                )
+                samples = jnp.reshape(samples, (-1, n_nodes, dim))
+                log_p = target_log_prob_fn(samples)
+                return None, log_p - log_q
+
+            _, log_w = jax.lax.scan(
+                forward, None, jax.random.split(key, n_eval_batches)
+            )
+            log_w = log_w.flatten()
+            return {"rv_ess": calculate_reverse_ess(log_w)}
+
+    else:
+        eval_batch_free_fn = None
+
+    def eval_on_data_batch_fn(data, key: jax.Array, mask, state: TrainingState):
+        pos_b, feat_b = data
+        log_q, log_prob_base, delta_log_lik = get_log_prob(
+            cnf,
+            state.params,
+            pos_b,
+            key,
+            features=feat_b,
+            approx=not tcfg.eval_exact_log_prob,
+            cfg=solve_cfg,
+        )
+        info = {
+            "test_log_lik": maybe_masked_mean(log_q, mask),
+            "test_log_prob_base": maybe_masked_mean(log_prob_base, mask),
+            "test_delta_log_lik": maybe_masked_mean(delta_log_lik, mask),
+        }
+        if target_log_prob_fn is not None:
+            pos = jnp.reshape(pos_b, (-1, n_nodes, dim))
+            log_p = target_log_prob_fn(pos)
+            log_w = log_p - log_q
+        else:
+            log_w = None
+        return log_w, info
+
+    if plotter is None:
+        plotter = setup_default_plotter(
+            cnf=cnf,
+            n_nodes=n_nodes,
+            dim=dim,
+            n_samples_plotting=tcfg.plot_batch_size,
+            solve_cfg=solve_cfg,
+        )
+
+    def eval_and_plot(
+        state: TrainingState, key: jax.Array, iteration_n: int, save: bool, plots_dir: str
+    ) -> dict:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        # EMA swap on the final eval (reference `setup_training.py:229-230`).
+        if tcfg.use_ema and (tcfg.n_training_iter - 1) == iteration_n:
+            state = state._replace(params=state.ema_params)
+
+        info, log_w_fwd, flat_mask = eval_fn(
+            x=(test_pos_flat, test_features_flat),
+            key=key,
+            eval_on_test_batch_fn=partial(eval_on_data_batch_fn, state=state),
+            eval_batch_free_fn=(
+                partial(eval_batch_free_fn, state=state)
+                if eval_batch_free_fn is not None
+                else None
+            ),
+            batch_size=tcfg.eval_batch_size,
+        )
+
+        if target_log_prob_fn is not None and log_w_fwd is not None:
+            info.update(calculate_forward_ess(log_w_fwd, mask=flat_mask))
+
+        figs = plotter(state, train_data_, key)
+        for j, figure in enumerate(figs):
+            if save and plots_dir is not None:
+                figure.savefig(
+                    os.path.join(plots_dir, "plot_%03i_iter_%08i.png" % (j, iteration_n))
+                )
+            plt.close(figure)
+
+        return {k: np.asarray(v) for k, v in info.items()}
+
+    return TrainConfig(
+        n_iteration=tcfg.n_training_iter,
+        logger=logger,
+        seed=tcfg.seed,
+        n_checkpoints=tcfg.n_checkpoints,
+        n_eval=tcfg.n_eval,
+        init_state=init_state,
+        update_state=run_epoch,
+        eval_and_plot_fn=eval_and_plot,
+        save=tcfg.save,
+        save_dir=save_path,
+        resume=tcfg.resume,
+        use_64_bit=tcfg.use_64_bit,
+        runtime_limit=tcfg.runtime_limit,
+        profile_dir=tcfg.profile_dir,
+    )

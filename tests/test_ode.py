@@ -1,0 +1,136 @@
+"""ODE engine tests: fixed + adaptive Dopri5 vs closed forms and scipy."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecnf_tpu.ops.ode import odeint_adaptive, odeint_fixed, odeint
+from ecnf_tpu.ops.divergence import exact_divergence, hutchinson_divergence
+
+
+def linear_field(t, y):
+    # dy/dt = -y  -> y(t) = y0 exp(-t)
+    return -y
+
+
+def stiffish_field(t, y):
+    return -5.0 * y + jnp.sin(10.0 * t[:, None])
+
+
+class TestFixedStep:
+    def test_exponential_decay(self):
+        y0 = jnp.ones((4, 3)) * jnp.array([1.0, 2.0, -3.0])
+        y1, stats = odeint_fixed(linear_field, y0, 0.0, 1.0, step_size=0.05)
+        np.testing.assert_allclose(y1, y0 * np.exp(-1.0), rtol=1e-6)
+        assert int(stats.num_steps) == 20
+
+    def test_backwards(self):
+        y0 = jnp.ones((2, 2))
+        y1, _ = odeint_fixed(linear_field, y0, 1.0, 0.0, step_size=0.05)
+        np.testing.assert_allclose(y1, y0 * np.exp(1.0), rtol=1e-6)
+
+    def test_roundtrip(self):
+        y0 = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+        fwd, _ = odeint_fixed(stiffish_field, y0, 0.0, 1.0, step_size=0.02)
+        back, _ = odeint_fixed(stiffish_field, fwd, 1.0, 0.0, step_size=0.02)
+        np.testing.assert_allclose(back, y0, rtol=1e-4, atol=1e-5)
+
+
+class TestAdaptive:
+    def test_exponential_decay(self):
+        y0 = jnp.ones((4, 3)) * jnp.array([1.0, 2.0, -3.0])
+        y1, stats = odeint_adaptive(linear_field, y0, 0.0, 1.0, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(y1, y0 * np.exp(-1.0), rtol=1e-5)
+        assert int(stats.num_steps) > 0
+
+    def test_vs_scipy(self):
+        from scipy.integrate import solve_ivp
+
+        def np_field(t, y):
+            y = y.reshape(1, -1)
+            return np.asarray(
+                stiffish_field(np.array([t]), y)
+            ).reshape(-1)
+
+        y0 = np.array([[0.5, -1.2, 2.0]])
+        ref = solve_ivp(
+            np_field, (0.0, 1.0), y0[0], method="RK45", rtol=1e-8, atol=1e-10
+        ).y[:, -1]
+        ours, _ = odeint_adaptive(
+            stiffish_field, jnp.asarray(y0), 0.0, 1.0, rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(ours[0], ref, rtol=1e-4, atol=1e-6)
+
+    def test_per_sample_scales(self):
+        # Samples with very different magnitudes must each meet tolerance.
+        y0 = jnp.array([[1e-3], [1.0], [1e3]])
+        y1, _ = odeint_adaptive(linear_field, y0, 0.0, 2.0, rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(y1, y0 * np.exp(-2.0), rtol=1e-5)
+
+    def test_backwards(self):
+        y0 = jnp.full((2, 4), 0.3)
+        y1, _ = odeint_adaptive(linear_field, y0, 1.0, 0.0, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(y1, y0 * np.exp(1.0), rtol=1e-5)
+
+    def test_time_dependent_field(self):
+        # dy/dt = 2t -> y(1) = y0 + 1.
+        def f(t, y):
+            return jnp.broadcast_to((2.0 * t)[:, None], y.shape)
+
+        y0 = jnp.zeros((3, 2))
+        y1, _ = odeint_adaptive(f, y0, 0.0, 1.0)
+        np.testing.assert_allclose(y1, np.ones((3, 2)), rtol=1e-5)
+
+    def test_jit_under_jit(self):
+        @jax.jit
+        def run(y0):
+            y1, _ = odeint_adaptive(linear_field, y0, 0.0, 1.0)
+            return y1
+
+        y0 = jnp.ones((2, 2))
+        np.testing.assert_allclose(run(y0), y0 * np.exp(-1.0), rtol=1e-4)
+
+
+class TestDivergence:
+    def _field(self):
+        W = jax.random.normal(jax.random.PRNGKey(0), (6, 6))
+
+        def f(x):
+            return jnp.tanh(x @ W) + 0.5 * x
+
+        return f, W
+
+    def test_exact_matches_jacobian(self):
+        f, W = self._field()
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 6))
+        div = exact_divergence(f, x)
+        for i in range(5):
+            J = jax.jacfwd(lambda v: f(v[None])[0])(x[i])
+            np.testing.assert_allclose(div[i], jnp.trace(J), rtol=1e-5)
+
+    def test_exact_chunked(self):
+        f, _ = self._field()
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 6))
+        np.testing.assert_allclose(
+            exact_divergence(f, x, column_chunk=4),
+            exact_divergence(f, x),
+            rtol=1e-5,
+        )
+
+    def test_hutchinson_unbiased(self):
+        f, _ = self._field()
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 6))
+        exact = exact_divergence(f, x)
+        keys = jax.random.split(jax.random.PRNGKey(4), 2000)
+        ests = jax.vmap(
+            lambda k: hutchinson_divergence(f, x, jax.random.normal(k, x.shape))
+        )(keys)
+        np.testing.assert_allclose(jnp.mean(ests, axis=0), exact, rtol=0.1)
+
+
+class TestDispatch:
+    def test_odeint_dispatch(self):
+        y0 = jnp.ones((2, 2))
+        yf, _ = odeint(linear_field, y0, 0.0, 1.0, use_fixed_step_size=True)
+        ya, _ = odeint(linear_field, y0, 0.0, 1.0, use_fixed_step_size=False)
+        np.testing.assert_allclose(yf, ya, rtol=1e-4)

@@ -1,0 +1,139 @@
+"""Target energy + dataset tests.
+
+Energy formulas are validated against direct edge-list transcriptions of the
+reference (`target_energy/double_well.py:9-19`, `leonard_jones.py:10-27`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecnf_tpu.ops.graph import get_senders_and_receivers_fully_connected
+from ecnf_tpu.ops.numerics import safe_norm
+from ecnf_tpu.targets.energies import (
+    double_well_energy,
+    double_well_log_prob,
+    lennard_jones_energy,
+    lennard_jones_log_prob,
+)
+from ecnf_tpu.targets.mog import MoGTarget
+
+
+def _dw_energy_edge_list(x, a=0.0, b=-4.0, c=0.9, d0=4.0, tau=1.0):
+    """Direct transcription of reference double_well.py:9-19."""
+    n_nodes, _ = x.shape
+    senders, receivers = get_senders_and_receivers_fully_connected(n_nodes)
+    vectors = x[senders] - x[receivers]
+    differences = safe_norm(vectors, axis=-1)
+    diff_minus_d0 = differences - d0
+    return (
+        jnp.sum(a * diff_minus_d0 + b * diff_minus_d0**2 + c * diff_minus_d0**4)
+        / tau
+        / 2
+    )
+
+
+def _lj_energy_edge_list(x, epsilon=1.0, tau=1.0, r=1.0, coef=0.5):
+    """Direct transcription of reference leonard_jones.py:10-27."""
+    n_nodes, _ = x.shape
+    r = jnp.ones(n_nodes) * r
+    senders, receivers = get_senders_and_receivers_fully_connected(n_nodes)
+    vectors = x[senders] - x[receivers]
+    d = safe_norm(vectors, axis=-1)
+    term = (r[receivers] / d) ** 12 - 2 * (r[receivers] / d) ** 6
+    energy = epsilon / (2 * tau) * jnp.sum(term)
+    com = jnp.mean(x, axis=0)
+    return energy + coef * jnp.sum((x - com) ** 2)
+
+
+class TestEnergies:
+    def test_dw4_matches_edge_list(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2)) * 2
+        np.testing.assert_allclose(
+            double_well_energy(x), _dw_energy_edge_list(x), rtol=1e-5
+        )
+
+    def test_dw4_batched(self):
+        xb = jax.random.normal(jax.random.PRNGKey(1), (5, 4, 2)) * 2
+        eb = double_well_log_prob(xb)
+        for i in range(5):
+            np.testing.assert_allclose(
+                eb[i], -_dw_energy_edge_list(xb[i]), rtol=1e-5
+            )
+
+    def test_lj13_matches_edge_list(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (13, 3))
+        np.testing.assert_allclose(
+            lennard_jones_energy(x), _lj_energy_edge_list(x), rtol=1e-4
+        )
+
+    def test_lj13_batched(self):
+        xb = jax.random.normal(jax.random.PRNGKey(3), (3, 13, 3))
+        eb = lennard_jones_log_prob(xb)
+        for i in range(3):
+            np.testing.assert_allclose(
+                eb[i], -_lj_energy_edge_list(xb[i]), rtol=1e-4
+            )
+
+    def test_energies_translation_invariant_dw(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 2))
+        shift = jnp.array([3.0, -1.0])
+        np.testing.assert_allclose(
+            double_well_energy(x), double_well_energy(x + shift), rtol=1e-4
+        )
+
+
+class TestMoG:
+    def test_log_prob_normalized(self):
+        """MC check: E_q[p/q] == 1 with q = broad Gaussian."""
+        target = MoGTarget()
+        key = jax.random.PRNGKey(0)
+        scale = 25.0
+        x = jax.random.normal(key, (200_000, 2)) * scale
+        log_q = (
+            -0.5 * jnp.sum((x / scale) ** 2, axis=-1)
+            - np.log(2 * np.pi)
+            - 2 * np.log(scale)
+        )
+        log_p = target.log_prob(x)
+        ratio = jnp.exp(jax.nn.logsumexp(log_p - log_q) - np.log(x.shape[0]))
+        np.testing.assert_allclose(float(ratio), 1.0, rtol=0.15)
+
+    def test_sample_statistics(self):
+        target = MoGTarget()
+        samples = target.sample(jax.random.PRNGKey(1), (50_000,))
+        # Mean of samples should approximate the mean of the mixture means.
+        np.testing.assert_allclose(
+            samples.mean(axis=0), target.means.mean(axis=0), atol=0.2
+        )
+
+
+class TestALDPLoader:
+    def test_reads_h5(self):
+        from pathlib import Path
+
+        from ecnf_tpu.targets.data import load_aldp
+
+        path = Path(__file__).resolve().parent.parent / "data" / "aldp_500K_train_mini.h5"
+        if not path.exists():
+            pytest.skip("aldp h5 not present")
+        train, _, _ = load_aldp(train_path=str(path), train_n_points=100)
+        assert train.positions.shape == (100, 22, 3)
+        assert train.features.shape == (100, 22, 1)
+        # Features are the per-atom index (reference data.py:146).
+        np.testing.assert_array_equal(
+            np.asarray(train.features[0, :, 0]), np.arange(22)
+        )
+
+
+class TestEdgeList:
+    def test_sender_receiver_pattern(self):
+        """Exact ordering parity with reference graph.py:6-14."""
+        s, r = get_senders_and_receivers_fully_connected(4)
+        expected_r, expected_s = [], []
+        for i in range(4):
+            for j in range(3):
+                expected_r.append(i)
+                expected_s.append((i + 1 + j) % 4)
+        np.testing.assert_array_equal(np.asarray(s), expected_s)
+        np.testing.assert_array_equal(np.asarray(r), expected_r)
