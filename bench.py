@@ -30,6 +30,14 @@ DEFAULT_CPU_BASELINE = float(os.environ.get("ECNF_BENCH_BASELINE", "0.25"))
 
 BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "256"))
 REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
+# The EGNN MLP stack runs in bf16 by default (the TPU-production setting:
+# geometry, aggregation and the ODE state stay f32, equivariance is exact,
+# and the edge tensors are HBM-bandwidth-bound so bf16 is ~2x).  Set
+# ECNF_BENCH_DTYPE=float32 for the full-f32 variant (69.6 samples/s/chip on
+# v5e vs 143.0 in bf16).
+COMPUTE_DTYPE = os.environ.get("ECNF_BENCH_DTYPE", "bfloat16")
+if COMPUTE_DTYPE in ("float32", "f32", ""):
+    COMPUTE_DTYPE = None
 
 
 def main() -> None:
@@ -47,6 +55,7 @@ def main() -> None:
         n_invariant_feat_hidden=64,
         time_embedding_dim=8,
         n_features=1,
+        compute_dtype=COMPUTE_DTYPE,
     )
     feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
     x0 = jnp.zeros((2, n_nodes * dim))

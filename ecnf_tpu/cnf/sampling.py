@@ -30,6 +30,7 @@ from ecnf_tpu.ops.ode import odeint, ODEStats
 from ecnf_tpu.ops.divergence import (
     value_and_exact_divergence,
     value_and_hutchinson_divergence,
+    value_and_multi_probe_hutchinson,
 )
 
 
@@ -49,6 +50,9 @@ class SolveConfig:
     step_size: float = 0.05
     max_steps: int = 4096
     trace_column_chunk: Optional[int] = None
+    # Hutchinson probes for approximate log-prob (reference is fixed at 1,
+    # `sample_and_log_prob.py:55`; >1 reduces estimator variance by 1/K).
+    hutchinson_probes: int = 1
 
 
 def _solve(func, y0, t0, t1, cfg: SolveConfig) -> Tuple[jax.Array, ODEStats]:
@@ -87,6 +91,14 @@ def sample_cnf(
     return x1
 
 
+def _draw_probes(key, B: int, D: int, cfg: SolveConfig):
+    """One fixed Gaussian probe per sample (reference semantics), or
+    ``[K, B, D]`` probes when ``cfg.hutchinson_probes > 1``."""
+    if cfg.hutchinson_probes > 1:
+        return jax.random.normal(key, (cfg.hutchinson_probes, B, D))
+    return jax.random.normal(key, (B, D))
+
+
 def _augmented_field(cnf, params, features, approx: bool, eps, cfg: SolveConfig):
     """Vector field on the ``[B, D+1]`` (x, logdet) augmented state."""
 
@@ -97,7 +109,10 @@ def _augmented_field(cnf, params, features, approx: bool, eps, cfg: SolveConfig)
             return cnf.apply(params, xb, t, features)
 
         if approx:
-            v, div = value_and_hutchinson_divergence(f_x, x, eps)
+            if eps.ndim == 3:
+                v, div = value_and_multi_probe_hutchinson(f_x, x, eps)
+            else:
+                v, div = value_and_hutchinson_divergence(f_x, x, eps)
         else:
             v, div = value_and_exact_divergence(
                 f_x, x, column_chunk=cfg.trace_column_chunk
@@ -124,7 +139,7 @@ def get_log_prob(
     divergence along the reverse solve.
     """
     B, D = x.shape
-    eps = jax.random.normal(key, (B, D)) if approx else None
+    eps = _draw_probes(key, B, D, cfg) if approx else None
     func = _augmented_field(cnf, params, features, approx, eps, cfg)
     y0 = jnp.concatenate([x, jnp.zeros((B, 1), x.dtype)], axis=-1)
     y1, _ = _solve(func, y0, 1.0, 0.0, cfg)
@@ -151,7 +166,7 @@ def sample_and_log_prob_cnf(
     key_base, key_eps = jax.random.split(key)
     x0, log_prob_base = cnf.sample_and_log_prob_base(key_base, (batch_size,))
     B, D = x0.shape
-    eps = jax.random.normal(key_eps, (B, D)) if approx else None
+    eps = _draw_probes(key_eps, B, D, cfg) if approx else None
     func = _augmented_field(cnf, params, features, approx, eps, cfg)
     y0 = jnp.concatenate([x0, jnp.zeros((B, 1), x0.dtype)], axis=-1)
     y1, _ = _solve(func, y0, 0.0, 1.0, cfg)

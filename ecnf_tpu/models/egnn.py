@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ecnf_tpu.ops.graph import dense_edge_mask, pairwise_difference
-from ecnf_tpu.ops.numerics import safe_norm
+from ecnf_tpu.ops.graph import dense_edge_mask
 from ecnf_tpu.models.mlp import MLP, StableMLP, ConcatDense
 
 
@@ -44,6 +43,7 @@ class EGCL(nn.Module):
     stable_mlp: bool = False
     normalization_constant: float = 1.0
     variance_scaling_init: float = 0.001
+    dtype: Optional[jnp.dtype] = None  # compute dtype for the edge MLPs
 
     @nn.compact
     def __call__(
@@ -61,48 +61,77 @@ class EGCL(nn.Module):
         avg_num_neighbours = N - 1
         mlp_cls = StableMLP if self.stable_mlp else MLP
 
-        # Dense pairwise geometry: diff[b, i, j] = x_i - x_j (receiver i,
-        # sender j; reference `egnn.py:73`).  safe_norm reports 1 on the
-        # (zero-vector) diagonal, keeping gradients finite; the diagonal is
-        # masked out of every aggregation below.
-        diff = pairwise_difference(vectors)  # [B, N, N, D]
-        lengths = safe_norm(diff, axis=-1, keepdims=True)  # [B, N, N, 1]
+        # Pairwise squared distances WITHOUT materializing the [B, N, N, D]
+        # difference tensor: Gram-matrix identity
+        #   |x_i - x_j|^2 = r_i + r_j - 2 x_i . x_j
+        # — one [N, D] @ [D, N] matmul per sample (MXU) instead of an
+        # HBM-resident rank-4 tensor.  Clamped at 0 (float cancellation) and
+        # the safe-norm convention preserved: exact zeros report length 1
+        # (reference `utils/numerical.py:7-10`), keeping gradients finite on
+        # the (masked-out) diagonal.
+        gram = jnp.einsum("bnd,bmd->bnm", vectors, vectors)  # [B, N, N]
+        r2 = jnp.diagonal(gram, axis1=-2, axis2=-1)  # [B, N]
+        l2 = jnp.maximum(r2[:, :, None] + r2[:, None, :] - 2.0 * gram, 0.0)
+        lengths = jnp.where(l2 == 0, 1.0, l2) ** 0.5  # [B, N, N]
         mask = dense_edge_mask(N, dtype=vectors.dtype)  # [N, N]
-        mask4 = mask[None, :, :, None]
 
         # phi_e on [h_sender, h_receiver, |diff|^2] (reference `egnn.py:76-79`)
         # with the concat fused away: sender j broadcasts along axis i (1),
         # receiver i along axis j (2).
-        m_ij = mlp_cls(self.mlp_units, activation=self.activation_fn, activate_final=True)(
+        m_ij = mlp_cls(
+            self.mlp_units,
+            activation=self.activation_fn,
+            activate_final=True,
+            dtype=self.dtype,
+        )(
             h[:, None, :, :],  # senders j
             h[:, :, None, :],  # receivers i
-            lengths**2,
+            l2[..., None],
         )  # [B, N, N, U]
 
         # Coordinate update (reference `egnn.py:82-96`).
         phi_x_out = mlp_cls(
-            self.mlp_units, activation=self.activation_fn, activate_final=True
+            self.mlp_units,
+            activation=self.activation_fn,
+            activate_final=True,
+            dtype=self.dtype,
         )(m_ij)
         phi_x_out = nn.Dense(
             1,
             kernel_init=nn.initializers.variance_scaling(
                 self.variance_scaling_init, "fan_avg", "uniform"
             ),
+            dtype=self.dtype,
         )(phi_x_out)  # [B, N, N, 1]
-        shifts_ij = phi_x_out * diff / (self.normalization_constant + lengths)
-        shifts_i = jnp.sum(shifts_ij * mask4, axis=2)  # sum over senders j
+        # Aggregate WITHOUT the [B, N, N, D] shift tensor: with
+        #   w_ij = mask * phi_x_ij / (C + |x_i - x_j|)
+        # the reference's scatter-sum of w_ij (x_i - x_j) over senders j
+        # (`egnn.py:85-95`) is exactly
+        #   (sum_j w_ij) x_i - (W x)_i
+        # — a row-sum plus one [N, N] @ [N, D] matmul.  Geometry and
+        # aggregation stay in f32 for equivariance accuracy.
+        w = phi_x_out[..., 0].astype(vectors.dtype) * mask / (
+            self.normalization_constant + lengths
+        )  # [B, N, N]
+        shifts_i = jnp.sum(w, axis=2)[:, :, None] * vectors - jnp.einsum(
+            "bij,bjd->bid", w, vectors
+        )
         vectors_out = shifts_i / avg_num_neighbours
 
         # Attention-gated feature aggregation (reference `egnn.py:99-106`).
-        gate = jax.nn.sigmoid(nn.Dense(1)(m_ij))  # [B, N, N, 1]
-        m_i = jnp.sum(m_ij * gate * mask4, axis=2) / jnp.sqrt(
+        gate = jax.nn.sigmoid(nn.Dense(1, dtype=self.dtype)(m_ij))  # [B, N, N, 1]
+        m_i = jnp.sum(
+            (m_ij * gate).astype(vectors.dtype) * mask[None, :, :, None], axis=2
+        ) / jnp.sqrt(
             jnp.asarray(avg_num_neighbours, dtype=vectors.dtype)
         )  # [B, N, U]
         features_out = mlp_cls(
             (*self.mlp_units, self.n_invariant_feat_hidden),
             activation=self.activation_fn,
             activate_final=False,
+            dtype=self.dtype,
         )(m_i, h)  # fused concat [m_i, h] (reference `egnn.py:105-106`)
+        features_out = features_out.astype(h.dtype)
 
         if self.residual_h:
             features_out = features_out + h
@@ -126,6 +155,7 @@ class EGNN(nn.Module):
     residual_x: bool = True
     normalization_constant: float = 1.0
     variance_scaling_init: float = 0.001
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -153,9 +183,9 @@ class EGNN(nn.Module):
         for _ in range(self.n_blocks):
             # Time conditioning: Dense over [h, t_emb] with the per-node
             # repeat of t_emb fused away (reference `egnn.py:166-167`).
-            h = ConcatDense(self.n_invariant_feat_hidden)(
-                h, jnp.broadcast_to(global_features[:, None, :], (B, 1, global_features.shape[-1]))
-            )
+            h = ConcatDense(self.n_invariant_feat_hidden, dtype=self.dtype)(
+                h, global_features[:, None, :]
+            ).astype(positions.dtype)
             vectors, h = EGCL(
                 mlp_units=self.mlp_units,
                 n_invariant_feat_hidden=self.n_invariant_feat_hidden,
@@ -165,6 +195,7 @@ class EGNN(nn.Module):
                 normalization_constant=self.normalization_constant,
                 variance_scaling_init=self.variance_scaling_init,
                 stable_mlp=self.stable_mlp,
+                dtype=self.dtype,
             )(vectors, h)
 
         if self.residual_x:

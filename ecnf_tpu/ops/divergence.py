@@ -103,3 +103,25 @@ def value_and_hutchinson_divergence(
 def hutchinson_divergence(f: BatchedField, x: jax.Array, eps: jax.Array) -> jax.Array:
     """Hutchinson trace estimate (see `value_and_hutchinson_divergence`)."""
     return value_and_hutchinson_divergence(f, x, eps)[1]
+
+
+def value_and_multi_probe_hutchinson(
+    f: BatchedField, x: jax.Array, eps: jax.Array
+) -> "tuple[jax.Array, jax.Array]":
+    """Hutchinson estimate averaged over K probes (variance / K).
+
+    Beyond-reference capability: the reference is fixed at one probe
+    (`sample_and_log_prob.py:55`); multiple probes interpolate between the
+    1-pass estimate and the D-pass exact trace.  Uses one linearize, so the
+    primal is shared across probes.
+
+    Args:
+        x: ``[B, D]``.
+        eps: ``[K, B, D]`` probe vectors.
+
+    Returns:
+        ``(f(x) [B, D], divergence estimate [B])``.
+    """
+    value, jvp_lin = jax.linearize(f, x)
+    ests = jax.vmap(lambda e: jnp.sum(jvp_lin(e) * e, axis=-1))(eps)  # [K, B]
+    return value, jnp.mean(ests, axis=0)

@@ -68,9 +68,12 @@ def maybe_masked_mean(array: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
 
 
 def get_leading_axis_tree(tree, n_dims: int = 1):
-    """Leading shape of the first leaf of a pytree (reference `numerical.py:35-39`)."""
+    """Leading shape of the first leaf of a pytree (reference `numerical.py:35-39`).
+
+    Python scalars are treated as rank-0 leaves.
+    """
     flat_tree = jax.tree_util.tree_leaves(tree)
-    return flat_tree[0].shape[:n_dims]
+    return np.shape(flat_tree[0])[:n_dims]
 
 
 def timestep_embedding(timesteps: jax.Array, embedding_dim: int) -> jax.Array:

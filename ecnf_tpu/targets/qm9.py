@@ -120,6 +120,9 @@ def process_xyz_files_from_tar(
     Parity with reference `data/prepare/process.py:25-93` (sorted member
     order, index selection, pad-to-max-atoms stacking).
     """
+    from ecnf_tpu.targets.native import parse_xyz_native, get_parser
+
+    use_native = get_parser() is not None
     with tarfile.open(tar_path, "r") as tar:
         files = sorted(
             (m for m in tar.getmembers() if m.name.endswith(".xyz")),
@@ -131,7 +134,12 @@ def process_xyz_files_from_tar(
         molecules = []
         for member in files:
             with tar.extractfile(member) as f:
-                molecules.append(process_xyz_gdb9(f))
+                if use_native:
+                    mol = parse_xyz_native(f.read())
+                    mol["tag"] = "gdb"
+                    molecules.append(mol)
+                else:
+                    molecules.append(process_xyz_gdb9(f))
 
     props = molecules[0].keys()
     assert all(mol.keys() == props for mol in molecules)

@@ -22,6 +22,7 @@ class NetworkConfig:
     n_invariant_feat_hidden: int = 64
     time_embedding_dim: int = 8
     stable_mlp: bool = False
+    compute_dtype: Optional[str] = None  # "bfloat16" for bf16 MLP compute
 
 
 @dataclass

@@ -164,6 +164,7 @@ def setup_training(
         time_embedding_dim=net_cfg.time_embedding_dim,
         n_features=int(jnp.max(train_features_flat)) + 1,
         stable_mlp=net_cfg.stable_mlp,
+        compute_dtype=net_cfg.compute_dtype,
     )
 
     solve_cfg = SolveConfig(
