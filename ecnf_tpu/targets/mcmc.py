@@ -11,10 +11,11 @@ TPU-first design: all chains advance together as one ``[C, N, D]`` batch
 sampler is a single jit-compiled program.  Deterministic given the seed.
 """
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _leapfrog(grad_fn, x, p, step_size, n_steps):
@@ -29,6 +30,25 @@ def _leapfrog(grad_fn, x, p, step_size, n_steps):
 
     (x, p), _ = jax.lax.scan(body, (x, p), None, length=n_steps)
     return x, p
+
+
+def icosahedron_with_center(n_chains: int, key: jax.Array, noise: float = 0.05) -> jax.Array:
+    """Noisy 13-particle icosahedral configurations (LJ13 ground-state
+    geometry: 12 vertices at unit circumradius + central atom) — a
+    low-energy HMC initialization for the steep LJ potential."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    base = []
+    for s1 in (1.0, -1.0):
+        for s2 in (1.0, -1.0):
+            base.append([0.0, s1 * 1.0, s2 * phi])
+            base.append([s1 * 1.0, s2 * phi, 0.0])
+            base.append([s2 * phi, 0.0, s1 * 1.0])
+    verts = np.unique(np.round(np.array(base), 8), axis=0)
+    assert verts.shape == (12, 3), verts.shape
+    verts = verts / np.linalg.norm(verts[0])  # unit circumradius
+    x0 = np.concatenate([np.zeros((1, 3)), verts], axis=0)  # [13, 3]
+    x0 = jnp.asarray(x0)[None].repeat(n_chains, axis=0)
+    return x0 + noise * jax.random.normal(key, x0.shape)
 
 
 @partial(
@@ -56,8 +76,13 @@ def run_hmc(
     burn_in: int = 500,
     thin: int = 5,
     init_scale: float = 1.0,
+    init_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample ``[n_chains * n_samples_per_chain, N, D]`` from exp(log_prob).
+
+    ``init_positions`` (``[n_chains, N, D]``) overrides the random Gaussian
+    initialization — essential for steep potentials (LJ) where random
+    overlapping particles make every proposal diverge.
 
     Returns ``(samples, acceptance_rate)``.
     """
@@ -79,7 +104,10 @@ def run_hmc(
         return (x, lp), (x, accept)
 
     key_init, key_run = jax.random.split(key)
-    x0 = init_scale * jax.random.normal(key_init, (n_chains, n_nodes, dim))
+    if init_positions is not None:
+        x0 = init_positions
+    else:
+        x0 = init_scale * jax.random.normal(key_init, (n_chains, n_nodes, dim))
     lp0 = log_prob_fn(x0)
 
     n_total = burn_in + n_samples_per_chain * thin

@@ -187,5 +187,16 @@ def run_training(config: TrainConfig):
         except Exception:
             pass
 
+    # Upload checkpoints/plots as wandb artifacts at exit (reference
+    # `loop.py:176-178`); no-op when wandb is unavailable or not in use.
+    from ecnf_tpu.training.loggers import WandbLogger
+
+    if isinstance(config.logger, WandbLogger) and config.save and getattr(
+        config.logger, "_wandb", None
+    ):
+        wandb = config.logger._wandb
+        wandb.save(str(pathlib.Path(checkpoints_dir)) + "/*", base_path=config.save_dir, policy="now")
+        wandb.save(str(pathlib.Path(plots_dir)) + "/*", base_path=config.save_dir, policy="now")
+
     config.logger.close()
     return config.logger, state
