@@ -40,7 +40,55 @@ if COMPUTE_DTYPE in ("float32", "f32", ""):
     COMPUTE_DTYPE = None
 
 
+TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
+
+
+def bench_train_step() -> None:
+    """Secondary task: jitted train-step throughput (DW4-scale, steps/s)."""
+    import jax.numpy as jnp
+
+    from ecnf_tpu.cnf.build import build_cnf
+    from ecnf_tpu.training.optim import build_optimizer
+    from ecnf_tpu.training.state import init_training_state, make_update_fn
+
+    n_nodes, dim = 13, 3
+    cnf = build_cnf(
+        n_frames=n_nodes, dim=dim, sigma_min=0.01, base_scale=1.0,
+        n_blocks_egnn=3, mlp_units=(128, 128, 128),
+        n_invariant_feat_hidden=64, time_embedding_dim=8, n_features=1,
+        compute_dtype=COMPUTE_DTYPE,
+    )
+    opt = build_optimizer(1e-4, use_schedule=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, n_nodes * dim))
+    feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
+    state = init_training_state(cnf, opt, jax.random.PRNGKey(1), x[:2], feats[:2])
+    update = make_update_fn(cnf, opt)
+
+    state, info = update(state, x, feats)
+    jax.block_until_ready(info["loss"])
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, info = update(state, x, feats)
+    jax.block_until_ready(info["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    print(
+        json.dumps(
+            {
+                "metric": "lj13_train_step",
+                "value": round(1.0 / dt, 1),
+                "unit": "steps/s/chip",
+                "vs_baseline": round((1.0 / dt) / 1.0, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if TASK == "train_step":
+        bench_train_step()
+        return
+
     from ecnf_tpu.cnf.build import build_cnf
     from ecnf_tpu.cnf.sampling import SolveConfig, sample_and_log_prob_cnf
 

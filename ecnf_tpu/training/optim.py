@@ -20,11 +20,14 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     if use_schedule:
         assert n_iter_total is not None
+        # Clamp warmup for debug-scale runs (optax requires a positive
+        # cosine-decay phase after warmup).
+        warmup = min(n_iter_warmup, max(n_iter_total - 1, 0))
         lr = optax.warmup_cosine_decay_schedule(
             init_value=float(init_lr),
             peak_value=float(peak_lr),
             end_value=float(end_lr),
-            warmup_steps=n_iter_warmup,
+            warmup_steps=warmup,
             decay_steps=n_iter_total,
         )
     else:

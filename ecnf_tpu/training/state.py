@@ -49,7 +49,11 @@ def init_training_state(
     else:
         params = cnf.init(key, example_x, t0)
     opt_state = optimizer.init(params)
-    ema_params = params if use_ema else None
+    # EMA starts at a *copy* of params: the update step donates the state
+    # buffers, and aliasing params/ema_params would donate them twice.
+    ema_params = (
+        jax.tree_util.tree_map(lambda x: x.copy(), params) if use_ema else None
+    )
     return TrainingState(params=params, opt_state=opt_state, key=key, ema_params=ema_params)
 
 
