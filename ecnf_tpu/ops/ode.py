@@ -208,7 +208,14 @@ def odeint_adaptive(
         )
         dt_next = jnp.maximum(dt_mag * factor, dtmin)
 
-        step = accept & ~s.done
+        # Freeze diverged samples: once a state is non-finite (the field blew
+        # up, e.g. a partially-trained model), every step would be rejected
+        # until dt hits dtmin and NaNs are force-accepted — grinding through
+        # max_steps.  Mark such samples done; downstream evals mask
+        # non-finite log-densities (reference `evaluation.py:15` semantics).
+        dead = ~jnp.all(jnp.isfinite(s.y), axis=-1)
+
+        step = accept & ~s.done & ~dead
         t_new = jnp.where(step, s.t + dt, s.t)
         # Snap to the endpoint when within float slop.
         reached = jnp.abs(t1 - t_new) <= 1e-12
@@ -222,7 +229,7 @@ def odeint_adaptive(
             y=y_new,
             dt=jnp.where(s.done, s.dt, dt_next),
             k1=k1_new,
-            done=s.done | (step & reached),
+            done=s.done | (step & reached) | dead,
             n_accept=s.n_accept + step.astype(jnp.int32),
             n_iter=s.n_iter + 1,
         )

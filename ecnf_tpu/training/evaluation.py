@@ -83,12 +83,19 @@ def eval_fn(
     eval_batch_free_fn: Optional[Callable[..., dict]] = None,
     batch_size: Optional[int] = None,
     mask: Optional[Mask] = None,
+    use_scan: bool = False,
 ) -> Tuple[dict, Optional[Any], Optional[Mask]]:
-    """Scan a per-batch eval fn over padded test data and aggregate with
+    """Run a per-batch eval fn over padded test data and aggregate with
     per-batch mask weighting; optionally run a batch-free eval.
 
     Parity: reference `evaluation.py:59-115` (including the further-data
-    path that flattens per-item extras, e.g. forward log-weights).
+    path that flattens per-item extras, e.g. forward log-weights), with one
+    deliberate change: the batch loop defaults to a *host loop over a
+    per-batch jit* instead of the reference's `lax.scan`.  A scan fuses the
+    whole eval (dozens of adaptive ODE solves) into a single multi-minute
+    device program — which runtime watchdogs kill and which gives no
+    progress signal; per-batch dispatch costs ~ms and is compiled once.
+    Pass ``use_scan=True`` for the single-program variant.
     """
     info = {}
     key1, key2 = jax.random.split(key)
@@ -111,9 +118,22 @@ def eval_fn(
         mask_batched = mask_batched * mask_new
 
         n_batches = get_leading_axis_tree(x_batched)[0]
-        _, batched_info = jax.lax.scan(
-            scan_fn, None, (x_batched, mask_batched, jax.random.split(key1, n_batches))
-        )
+        keys = jax.random.split(key1, n_batches)
+        if use_scan:
+            _, batched_info = jax.lax.scan(
+                scan_fn, None, (x_batched, mask_batched, keys)
+            )
+        else:
+            outs = [
+                scan_fn(
+                    None,
+                    jax.tree_util.tree_map(lambda v: v[i], (x_batched, mask_batched, keys)),
+                )[1]
+                for i in range(n_batches)
+            ]
+            batched_info = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *outs
+            )
 
         per_batch_weighting = jnp.sum(mask_batched, axis=-1) / jnp.sum(
             jnp.sum(mask_batched, axis=-1)

@@ -230,36 +230,40 @@ def setup_training(
         eval_sample_batch = min(tcfg.eval_batch_size, tcfg.eval_n_model_samples)
         n_eval_batches = max(tcfg.eval_n_model_samples // eval_sample_batch, 1)
 
-        def eval_batch_free_fn(key: jax.Array, state: TrainingState) -> dict:
+        @jax.jit
+        def _ess_batch(params, k: jax.Array) -> jax.Array:
             feats = jnp.repeat(train_features_flat[:1], eval_sample_batch, axis=0)
-
-            def forward(carry, k):
-                # NOTE: the reference passes `eval_exact_log_prob` directly as
-                # `approx` here (`setup_training.py:171`), inverting its own
-                # flag; we implement the intended semantics (exact when the
-                # flag says exact) — divergence documented.
-                samples, log_q = sample_and_log_prob_cnf(
-                    cnf,
-                    state.params,
-                    k,
-                    eval_sample_batch,
-                    features=feats,
-                    approx=not tcfg.eval_exact_log_prob,
-                    cfg=solve_cfg,
-                )
-                samples = jnp.reshape(samples, (-1, n_nodes, dim))
-                log_p = target_log_prob_fn(samples)
-                return None, log_p - log_q
-
-            _, log_w = jax.lax.scan(
-                forward, None, jax.random.split(key, n_eval_batches)
+            # NOTE: the reference passes `eval_exact_log_prob` directly as
+            # `approx` here (`setup_training.py:171`), inverting its own
+            # flag; we implement the intended semantics (exact when the
+            # flag says exact) — divergence documented.
+            samples, log_q = sample_and_log_prob_cnf(
+                cnf,
+                params,
+                k,
+                eval_sample_batch,
+                features=feats,
+                approx=not tcfg.eval_exact_log_prob,
+                cfg=solve_cfg,
             )
-            log_w = log_w.flatten()
+            samples = jnp.reshape(samples, (-1, n_nodes, dim))
+            log_p = target_log_prob_fn(samples)
+            return log_p - log_q
+
+        def eval_batch_free_fn(key: jax.Array, state: TrainingState) -> dict:
+            # Host loop over per-batch jits (not one giant scanned program):
+            # bounded device-program length, progress per batch.
+            log_ws = [
+                _ess_batch(state.params, k)
+                for k in jax.random.split(key, n_eval_batches)
+            ]
+            log_w = jnp.concatenate(log_ws).flatten()
             return {"rv_ess": calculate_reverse_ess(log_w)}
 
     else:
         eval_batch_free_fn = None
 
+    @partial(jax.jit, static_argnames=())
     def eval_on_data_batch_fn(data, key: jax.Array, mask, state: TrainingState):
         pos_b, feat_b = data
         log_q, log_prob_base, delta_log_lik = get_log_prob(

@@ -81,6 +81,26 @@ class TestAdaptive:
         y1, _ = odeint_adaptive(f, y0, 0.0, 1.0)
         np.testing.assert_allclose(y1, np.ones((3, 2)), rtol=1e-5)
 
+    def test_diverged_samples_freeze_promptly(self):
+        """A sample whose field blows up must not grind to max_steps."""
+
+        def exploding(t, y):
+            # Sample 0 explodes hard; sample 1 is benign.
+            rate = jnp.array([[200.0], [0.1]])
+            return rate * y * y  # finite-time blow-up for y0 > 0
+
+        y0 = jnp.array([[5.0], [0.5]])
+        y1, stats = odeint_adaptive(
+            exploding, y0, 0.0, 1.0, rtol=1e-5, atol=1e-5, max_steps=512
+        )
+        # The benign sample still integrates correctly: dy/dt = 0.1 y^2.
+        expected = 0.5 / (1.0 - 0.05)
+        np.testing.assert_allclose(y1[1], expected, rtol=1e-4)
+        # The diverged sample ends non-finite and the loop exits well before
+        # max_steps (frozen, not force-accepted at dtmin forever).
+        assert not np.all(np.isfinite(y1[0]))
+        assert int(stats.num_attempts) < 512
+
     def test_jit_under_jit(self):
         @jax.jit
         def run(y0):
