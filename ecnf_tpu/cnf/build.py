@@ -6,7 +6,7 @@ Parity with the reference's `ecnf/cnf/build_cnf.py:34-102` (`build_cnf`,
 time embedding, flat <-> ``[N, D]`` reshaping around the EGNN.
 """
 from functools import partial
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

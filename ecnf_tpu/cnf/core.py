@@ -4,10 +4,9 @@ Parity with the reference's `ecnf/cnf/core.py:35-49` but batched-first:
 the conditional path operates directly on ``[B, D]`` batches (the reference
 defines it per-sample and vmaps at the call site, `ecnf/cnf/loss.py:25`).
 """
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
-import jax.numpy as jnp
 
 # Batched vector-field apply: (params, x[B,D], t[B], features[B,F]?) -> [B,D]
 VectorFieldApply = Callable[..., jax.Array]

@@ -7,7 +7,6 @@ activations, linear output back to the event dim.
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ecnf_tpu.ops.numerics import timestep_embedding

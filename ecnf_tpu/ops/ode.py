@@ -22,7 +22,7 @@ Design (vs. diffrax-under-vmap):
   differentiable if ever needed).
 """
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ pairwise distances (the reference loops an explicit ordered edge list; the
 dense sum over ordered pairs i != j is identical because its edge list
 contains both directions of every pair).
 """
-from functools import partial
 from typing import Union
 
 import jax

@@ -6,7 +6,7 @@ Parity with the reference MoG example's target construction
 ``softplus(0.1)`` (the reference passes the softplus'd "variance" directly
 as the Normal scale — reproduced faithfully).
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax

@@ -5,7 +5,6 @@ first use and cached next to the source.  If no compiler is available the
 caller falls back to the pure-Python parser in `ecnf_tpu/targets/qm9.py`.
 """
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Dict, Optional

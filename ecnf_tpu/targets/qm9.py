@@ -18,11 +18,10 @@ Requires network access for the initial download (~82 MB); all later loads
 hit the cached ``.npy`` files.
 """
 import logging
-import os
 import tarfile
 import urllib.request
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Torch-free re-implementations of the remaining reference
 import logging
 import urllib.request
 from os.path import join
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, List, Mapping, Optional
 
 import numpy as np
 

@@ -13,7 +13,6 @@ import re
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def get_latest_checkpoint(dir_path: str, key: str = "state_") -> Optional[str]:

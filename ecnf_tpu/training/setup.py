@@ -40,7 +40,7 @@ from ecnf_tpu.parallel.mesh import get_mesh, replicated, data_sharded
 from ecnf_tpu.targets.data import FullGraphSample
 from ecnf_tpu.training.config import ExperimentConfig
 from ecnf_tpu.training.evaluation import eval_fn, calculate_forward_ess, calculate_reverse_ess
-from ecnf_tpu.training.loggers import setup_logger, WandbLogger
+from ecnf_tpu.training.loggers import setup_logger
 from ecnf_tpu.training.loop import TrainConfig
 from ecnf_tpu.training.optim import build_optimizer
 from ecnf_tpu.training.state import TrainingState, init_training_state, make_update_fn

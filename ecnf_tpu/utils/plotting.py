@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ecnf_tpu.ops.graph import dense_edge_mask, pairwise_difference
+from ecnf_tpu.ops.graph import pairwise_difference
 
 
 def plot_history(history):

@@ -152,6 +152,33 @@ class TestEvaluation:
         assert mask.shape == (3, 4)
         assert int(mask.sum()) == 10
 
+    def test_eval_fn_scan_and_loop_agree(self):
+        """The host-loop eval (default) must match the scanned variant."""
+        data = jnp.arange(20.0)
+
+        def batch_fn(x, key, mask):
+            s = jnp.where(mask, x, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+            return {"m": s, "rand": jax.random.uniform(key)}
+
+        info_loop, _, _ = eval_fn(
+            data, jax.random.PRNGKey(0), eval_on_test_batch_fn=batch_fn,
+            batch_size=6, use_scan=False,
+        )
+        info_scan, _, _ = eval_fn(
+            data, jax.random.PRNGKey(0), eval_on_test_batch_fn=batch_fn,
+            batch_size=6, use_scan=True,
+        )
+        for k in info_loop:
+            np.testing.assert_allclose(
+                float(info_loop[k]), float(info_scan[k]), rtol=1e-6
+            )
+
+    def test_padded_reshape_axis0(self):
+        data = jnp.arange(10.0)
+        reshaped, mask = setup_padded_reshaped_data(data, 4, reshape_axis=0)
+        assert reshaped.shape == (4, 3)
+        assert int(mask.sum()) == 10
+
     def test_eval_fn_masked_mean_exact(self):
         """Padded entries must not bias the aggregated metrics."""
         data = jnp.arange(10.0)
