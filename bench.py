@@ -38,6 +38,9 @@ REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
 COMPUTE_DTYPE = os.environ.get("ECNF_BENCH_DTYPE", "bfloat16")
 if COMPUTE_DTYPE in ("float32", "f32", ""):
     COMPUTE_DTYPE = None
+# Jacobian columns per scan chunk for the exact trace (smaller chunks
+# pipeline better; 0/unset = all columns at once).
+TRACE_CHUNK = int(os.environ.get("ECNF_BENCH_TRACE_CHUNK", "0")) or None
 
 
 TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
@@ -109,7 +112,9 @@ def main() -> None:
     x0 = jnp.zeros((2, n_nodes * dim))
     params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats[:2])
 
-    cfg = SolveConfig(use_fixed_step_size=True, step_size=0.05)
+    cfg = SolveConfig(
+        use_fixed_step_size=True, step_size=0.05, trace_column_chunk=TRACE_CHUNK
+    )
 
     def run(key):
         return sample_and_log_prob_cnf(

@@ -226,11 +226,25 @@ def setup_training(
 
     # --- Evaluation --------------------------------------------------------
 
+    # Explicit shardings need the batch divisible by the mesh; round the
+    # eval batch up (padded entries are masked, so metrics are unchanged).
+    from ecnf_tpu.parallel.mesh import pad_to_multiple
+
+    n_mesh_devices = int(mesh.devices.size)
+    eval_batch_size = pad_to_multiple(tcfg.eval_batch_size, n_mesh_devices)
+    if eval_batch_size != tcfg.eval_batch_size:
+        print(
+            f"eval_batch_size {tcfg.eval_batch_size} -> {eval_batch_size} "
+            f"(rounded up to the {n_mesh_devices}-device mesh)"
+        )
+
     if target_log_prob_fn is not None and tcfg.eval_n_model_samples is not None:
-        eval_sample_batch = min(tcfg.eval_batch_size, tcfg.eval_n_model_samples)
+        eval_sample_batch = min(eval_batch_size, tcfg.eval_n_model_samples)
         n_eval_batches = max(tcfg.eval_n_model_samples // eval_sample_batch, 1)
 
-        @jax.jit
+        # Sharded like the train step: params replicated, the sampled batch
+        # (internal to the solve) distributed by GSPMD; outputs replicated.
+        @partial(jax.jit, in_shardings=(rep, rep), out_shardings=rep)
         def _ess_batch(params, k: jax.Array) -> jax.Array:
             feats = jnp.repeat(train_features_flat[:1], eval_sample_batch, axis=0)
             # NOTE: the reference passes `eval_exact_log_prob` directly as
@@ -263,8 +277,15 @@ def setup_training(
     else:
         eval_batch_free_fn = None
 
-    @partial(jax.jit, static_argnames=())
-    def eval_on_data_batch_fn(data, key: jax.Array, mask, state: TrainingState):
+    # Test batches sharded over the data axis; masked means reduce globally
+    # (exact across devices/hosts), state replicated.  (jit sharding specs
+    # require positional args; the kwarg-friendly wrapper is below.)
+    @partial(
+        jax.jit,
+        in_shardings=(data_shard, rep, data_shard, rep),
+        out_shardings=(data_shard, rep),
+    )
+    def _eval_data_batch(data, key: jax.Array, mask, state: TrainingState):
         pos_b, feat_b = data
         log_q, log_prob_base, delta_log_lik = get_log_prob(
             cnf,
@@ -287,6 +308,9 @@ def setup_training(
         else:
             log_w = None
         return log_w, info
+
+    def eval_on_data_batch_fn(data, key, mask, state):
+        return _eval_data_batch(data, key, mask, state)
 
     if plotter is None:
         plotter = setup_default_plotter(
@@ -318,7 +342,7 @@ def setup_training(
                 if eval_batch_free_fn is not None
                 else None
             ),
-            batch_size=tcfg.eval_batch_size,
+            batch_size=eval_batch_size,
         )
 
         if target_log_prob_fn is not None and log_w_fwd is not None:
