@@ -6,6 +6,11 @@ of jitted sampling, compile time printed separately), loading from a local
 orbax checkpoint directory instead of a wandb artifact (wandb-optional
 here: pass --wandb-run to fetch from wandb when the package is available).
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

@@ -5,6 +5,11 @@ train/eval loop, KL + approx-NLL metrics, sample scatter + vector-field
 quiver plots at t=0.5 / t=0.01), built on the framework's batched
 components.  CPU-runnable.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import itertools
 import os
 from typing import Tuple
