@@ -130,10 +130,12 @@ def get_log_prob(
     features: Optional[jax.Array] = None,
     approx: bool = False,
     cfg: SolveConfig = SolveConfig(),
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    return_stats: bool = False,
+):
     """Log-density of ``[B, D]`` data points by integrating t: 1 -> 0.
 
-    Returns ``(log_p, log_prob_base, delta_log_lik)``, each ``[B]``.
+    Returns ``(log_p, log_prob_base, delta_log_lik)``, each ``[B]``
+    (plus `ODEStats` when ``return_stats``).
     Parity: reference `get_log_prob` (`sample_and_log_prob.py:41-94`):
     ``log_p = log_prob_base(x0) + delta`` with ``delta`` the accumulated
     divergence along the reverse solve.
@@ -142,10 +144,12 @@ def get_log_prob(
     eps = _draw_probes(key, B, D, cfg) if approx else None
     func = _augmented_field(cnf, params, features, approx, eps, cfg)
     y0 = jnp.concatenate([x, jnp.zeros((B, 1), x.dtype)], axis=-1)
-    y1, _ = _solve(func, y0, 1.0, 0.0, cfg)
+    y1, stats = _solve(func, y0, 1.0, 0.0, cfg)
     x0, delta_log_lik = y1[:, :-1], y1[:, -1]
     log_prob_base = cnf.log_prob_base(x0)
     log_p = log_prob_base + delta_log_lik
+    if return_stats:
+        return log_p, log_prob_base, delta_log_lik, stats
     return log_p, log_prob_base, delta_log_lik
 
 

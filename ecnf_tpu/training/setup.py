@@ -287,7 +287,7 @@ def setup_training(
     )
     def _eval_data_batch(data, key: jax.Array, mask, state: TrainingState):
         pos_b, feat_b = data
-        log_q, log_prob_base, delta_log_lik = get_log_prob(
+        log_q, log_prob_base, delta_log_lik, stats = get_log_prob(
             cnf,
             state.params,
             pos_b,
@@ -295,11 +295,15 @@ def setup_training(
             features=feat_b,
             approx=not tcfg.eval_exact_log_prob,
             cfg=solve_cfg,
+            return_stats=True,
         )
         info = {
             "test_log_lik": maybe_masked_mean(log_q, mask),
             "test_log_prob_base": maybe_masked_mean(log_prob_base, mask),
             "test_delta_log_lik": maybe_masked_mean(delta_log_lik, mask),
+            # Solver telemetry: accepted ODE steps for this batch (max over
+            # samples) — surfaces eval cost drift as the model trains.
+            "eval_ode_steps": stats.num_steps.astype(jnp.float32),
         }
         if target_log_prob_fn is not None:
             pos = jnp.reshape(pos_b, (-1, n_nodes, dim))

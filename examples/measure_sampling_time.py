@@ -27,7 +27,35 @@ def main():
     parser.add_argument("--checkpoint-dir", type=str, default="runs/qm9/model_checkpoints")
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument(
+        "--wandb-project",
+        type=str,
+        default=None,
+        help="fetch the newest qm9/flow_matching run's checkpoints from "
+        "wandb (reference load_checkpoint_measure_sampling_time.py:22-70); "
+        "requires the wandb package",
+    )
     args = parser.parse_args()
+
+    if args.wandb_project is not None:
+        # Parity with the reference's wandb re-download helper: filter runs
+        # by tags, download the run dir's model_checkpoints.
+        import wandb
+
+        api = wandb.Api()
+        runs = [
+            r
+            for r in api.runs(args.wandb_project)
+            if {"qm9", "flow_matching"} <= set(r.tags)
+        ]
+        assert runs, "no matching wandb runs (tags qm9 + flow_matching)"
+        run = sorted(runs, key=lambda r: r.created_at)[-1]
+        dest = f"wandb_ckpt_{run.id}"
+        for f in run.files():
+            if "model_checkpoints" in f.name:
+                f.download(root=dest, exist_ok=True)
+        args.checkpoint_dir = f"{dest}/model_checkpoints"
+        print(f"downloaded checkpoints from wandb run {run.id} -> {args.checkpoint_dir}")
 
     n_nodes, dim = 19, 3
     cnf = build_cnf(
