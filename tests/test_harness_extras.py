@@ -1,0 +1,99 @@
+"""Additional harness coverage: runtime limit, 64-bit, logger fallback,
+profiler hook."""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecnf_tpu.training.loggers import ListLogger, WandbLogger
+from ecnf_tpu.training.loop import TrainConfig, run_training
+
+
+def _mk_config(tmp_path, **kw):
+    def init_state(key):
+        return {"w": jnp.zeros(1)}
+
+    def update_state(state):
+        time.sleep(kw.pop("_step_sleep", 0.0) if "_step_sleep" in kw else 0.0)
+        return {"w": state["w"] + 1}, {"loss": 0.0}
+
+    base = dict(
+        n_iteration=kw.pop("n_iteration", 4),
+        logger=ListLogger(),
+        seed=0,
+        n_checkpoints=kw.pop("n_checkpoints", 2),
+        n_eval=0,
+        init_state=init_state,
+        update_state=kw.pop("update_state", update_state),
+        eval_and_plot_fn=None,
+        save=True,
+        save_dir=str(tmp_path),
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestRuntimeLimit:
+    def test_early_stop(self, tmp_path):
+        """With a tiny runtime limit and slow steps, training must break at
+        a checkpoint instead of running all iterations (reference
+        loop.py:155-170 semantics)."""
+        calls = {"n": 0}
+
+        def slow_update(state):
+            calls["n"] += 1
+            time.sleep(0.3)
+            return {"w": state["w"] + 1}, {"loss": 0.0}
+
+        cfg = _mk_config(
+            tmp_path,
+            n_iteration=40,
+            n_checkpoints=20,
+            update_state=slow_update,
+            runtime_limit=0.5 / 3600.0,  # 0.5 s in hours
+        )
+        run_training(cfg)
+        assert calls["n"] < 40, "runtime limit did not stop training early"
+
+
+class TestUse64Bit:
+    def test_enables_x64(self, tmp_path):
+        seen = {}
+
+        def update_state(state):
+            seen["dtype"] = jnp.asarray(1.0).dtype
+            return state, {"loss": 0.0}
+
+        cfg = _mk_config(
+            tmp_path, n_iteration=1, n_checkpoints=0,
+            update_state=update_state, use_64_bit=True,
+        )
+        try:
+            run_training(cfg)
+            assert seen["dtype"] == jnp.float64
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+
+class TestWandbFallback:
+    def test_falls_back_without_wandb(self):
+        lg = WandbLogger(project="nope")
+        assert lg._wandb is None  # package absent in this env
+        lg.write({"a": 1.0})
+        lg.close()
+        assert lg._fallback.history["a"] == [1.0]
+
+
+class TestProfileDir:
+    def test_trace_files_written(self, tmp_path):
+        prof = tmp_path / "prof"
+        cfg = _mk_config(
+            tmp_path, n_iteration=4, n_checkpoints=0, profile_dir=str(prof)
+        )
+        run_training(cfg)
+        # jax.profiler writes a plugins/profile tree.
+        found = list(prof.rglob("*"))
+        assert found, "no profiler output written"
