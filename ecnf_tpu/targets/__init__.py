@@ -13,3 +13,10 @@ from ecnf_tpu.targets.energies import (
     lennard_jones_log_prob,
 )
 from ecnf_tpu.targets.mcmc import run_hmc
+from ecnf_tpu.targets.mog import MoGTarget
+from ecnf_tpu.targets.qm9_extras import (
+    ProcessedDataset,
+    add_thermo_targets,
+    get_thermo_dict,
+    collate_fn,
+)
