@@ -33,17 +33,18 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _tile_egnn_flat(
-    x_flat, h0, temb, ws, n_blocks: int, n_units: int, C: float, N: int, D: int
+def _tile_egnn(
+    pos, h0, temb, ws, n_blocks: int, n_units: int, C: float, N: int, D: int
 ):
-    """Flat [Bt, N*D] -> [Bt, N*D] EGNN field on one tile (pure jnp).
+    """[Bt, N, D] -> [Bt, N, D] EGNN field on one tile (pure jnp).
 
     ``ws`` is the per-block flat weight list (concatenated over blocks);
     math identical to `models/egnn.py` + `cnf/build.py` (recentring,
-    residual unwind, final scaling).
+    residual unwind, final scaling).  No flat<->[N,D] reshapes in here:
+    Mosaic cannot shape-cast across the lane dimension
+    (``vector<8x39> -> vector<8x13x3>`` is rejected), so the flat view
+    lives outside the kernel.
     """
-    Bt = x_flat.shape[0]
-    pos = x_flat.reshape(Bt, N, D)
     idx = 0
 
     def take(n):
@@ -80,7 +81,9 @@ def _tile_egnn_flat(
         we_s, we_r, we_l, be = take(4)
         A = mm(h, we_s)
         Bm = mm(h, we_r)
-        m = _silu(A[:, None, :, :] + Bm[:, :, None, :] + l2[..., None] * we_l[0] + be)
+        # we_l stays rank-2 ([1, H]) — Mosaic's layout inference aborts on
+        # rank-1 vectors inside this body (layout.h check 1 vs 2).
+        m = _silu(A[:, None, :, :] + Bm[:, :, None, :] + l2[..., None] * we_l + be)
         for _ in range(n_units - 1):
             w, b = take(2)
             m = _silu(mm(m, w) + b)
@@ -110,11 +113,11 @@ def _tile_egnn_flat(
         wout, bout = take(2)
         h = h + (mm(hh, wout) + bout)
 
-    final_scaling = take(1)[0]
+    final_scaling = take(1)[0][0, 0]  # scalar extract of the (1, 1) carrier
     vec = vec - init_vec
     vec = vec - pos_mean
     vec = vec * final_scaling
-    return vec.reshape(Bt, N * D)
+    return vec
 
 
 def _trace_kernel(
@@ -125,26 +128,35 @@ def _trace_kernel(
     w_refs = refs[3 : 3 + n_weights]
     out_v_ref, out_div_ref = refs[3 + n_weights], refs[4 + n_weights]
 
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)  # [Bt, N, D]
     h0 = h_ref[:].astype(jnp.float32)
     temb = temb_ref[:].astype(jnp.float32)
     ws = [r[:] for r in w_refs]
-    Bt, ND = x.shape
+    Bt = x.shape[0]
 
     f = functools.partial(
-        _tile_egnn_flat,
+        _tile_egnn,
         h0=h0, temb=temb, ws=ws, n_blocks=n_blocks, n_units=n_units,
         C=C, N=N, D=D,
     )
     value, lin = jax.linearize(f, x)
 
-    def col(d, acc):
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ND), 1)
-        e = (col_ids == d).astype(jnp.float32)  # [1, ND] -> broadcast rows
-        jv = lin(jnp.broadcast_to(e, (Bt, ND)))
-        return acc + jnp.sum(jv * e, axis=-1)
+    # Basis vector e_d over the flattened (node, dim) index, materialized as
+    # an [N, D] one-hot (flat index = n*D + d stays outside the kernel's
+    # vector reshapes).
+    flat_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, D), 0) * D
+        + jax.lax.broadcasted_iota(jnp.int32, (N, D), 1)
+    )
 
-    div = jax.lax.fori_loop(0, ND, col, jnp.zeros((Bt,), jnp.float32))
+    def col(d, acc):
+        e = (flat_ids == d).astype(jnp.float32)[None]  # [1, N, D]
+        jv = lin(jnp.broadcast_to(e, (Bt, N, D)))
+        # Keep the carry rank-2 ([Bt, 1]): Mosaic's layout inference aborts
+        # on rank-1 loop carries.
+        return acc + jnp.sum(jnp.sum(jv * e, axis=-1), axis=-1, keepdims=True)
+
+    div = jax.lax.fori_loop(0, N * D, col, jnp.zeros((Bt, 1), jnp.float32))
     out_v_ref[:] = value
     out_div_ref[:] = div
 
@@ -160,7 +172,7 @@ def egnn_value_and_div_fused(
     mlp_units: Sequence[int],
     time_embedding_dim: int,
     normalization_constant: float = 1.0,
-    batch_tile: int = 2,
+    batch_tile: int = 8,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused (field value, exact divergence) of the flat EGNN field.
@@ -190,6 +202,9 @@ def egnn_value_and_div_fused(
 
     Bt = min(batch_tile, B)
     assert B % Bt == 0, f"batch {B} not divisible by tile {Bt}"
+    # Mosaic requires the second-to-last block dim to be a multiple of 8
+    # (sublane tiling) unless it spans the full array.
+    assert interpret or Bt % 8 == 0 or Bt == B, f"batch tile {Bt} must be a multiple of 8"
     n_weights = len(ws)
 
     kernel = functools.partial(
@@ -205,13 +220,17 @@ def egnn_value_and_div_fused(
     v, div = pl.pallas_call(
         kernel,
         grid=(B // Bt,),
-        in_specs=[tile((ND,)), tile((n_nodes, h0.shape[-1])), tile((temb.shape[-1],))]
+        in_specs=[
+            tile((n_nodes, dim)),
+            tile((n_nodes, h0.shape[-1])),
+            tile((temb.shape[-1],)),
+        ]
         + [full() for _ in range(n_weights)],
-        out_specs=(tile((ND,)), pl.BlockSpec((Bt,), lambda i: (i,), memory_space=pltpu.VMEM)),
+        out_specs=(tile((n_nodes, dim)), tile((1,))),
         out_shape=(
-            jax.ShapeDtypeStruct((B, ND), jnp.float32),
-            jax.ShapeDtypeStruct((B,), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_nodes, dim), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(x, h0, temb, *ws)
-    return v, div
+    )(x.reshape(B, n_nodes, dim), h0, temb, *ws)
+    return v.reshape(B, ND), div[:, 0]

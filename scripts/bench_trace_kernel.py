@@ -43,7 +43,7 @@ def main():
     t_xla, (v_ref, div_ref) = timeit(xla, x)
     print(f"XLA linearize (f32):  {t_xla*1e3:.2f} ms/stage", flush=True)
 
-    for tile in (2, 4, 8):
+    for tile in (8, 16, 32):
         fused = jax.jit(
             lambda xb, tile=tile: egnn_value_and_div_fused(
                 variables, xb, t, feats, n_nodes=N, dim=DIM, n_blocks=3,
