@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ecnf_tpu.cnf.core import FlowMatchingCNF
 from ecnf_tpu.ops.ode import odeint, ODEStats
 from ecnf_tpu.ops.divergence import (
+    sharded_value_and_exact_divergence,
     value_and_exact_divergence,
     value_and_hutchinson_divergence,
     value_and_multi_probe_hutchinson,
@@ -99,8 +100,15 @@ def _draw_probes(key, B: int, D: int, cfg: SolveConfig):
     return jax.random.normal(key, (B, D))
 
 
-def _augmented_field(cnf, params, features, approx: bool, eps, cfg: SolveConfig):
-    """Vector field on the ``[B, D+1]`` (x, logdet) augmented state."""
+def _augmented_field(
+    cnf, params, features, approx: bool, eps, cfg: SolveConfig, trace_mesh=None
+):
+    """Vector field on the ``[B, D+1]`` (x, logdet) augmented state.
+
+    ``trace_mesh``: optional `Mesh` — shard the exact-trace Jacobian
+    columns across its data axis (for small-batch scoring where the batch
+    axis is too short to fill the mesh).
+    """
 
     def func(t, y):
         x = y[:, :-1]
@@ -113,6 +121,8 @@ def _augmented_field(cnf, params, features, approx: bool, eps, cfg: SolveConfig)
                 v, div = value_and_multi_probe_hutchinson(f_x, x, eps)
             else:
                 v, div = value_and_hutchinson_divergence(f_x, x, eps)
+        elif trace_mesh is not None:
+            v, div = sharded_value_and_exact_divergence(f_x, x, trace_mesh)
         else:
             v, div = value_and_exact_divergence(
                 f_x, x, column_chunk=cfg.trace_column_chunk
@@ -131,6 +141,7 @@ def get_log_prob(
     approx: bool = False,
     cfg: SolveConfig = SolveConfig(),
     return_stats: bool = False,
+    trace_mesh=None,
 ):
     """Log-density of ``[B, D]`` data points by integrating t: 1 -> 0.
 
@@ -139,10 +150,13 @@ def get_log_prob(
     Parity: reference `get_log_prob` (`sample_and_log_prob.py:41-94`):
     ``log_p = log_prob_base(x0) + delta`` with ``delta`` the accumulated
     divergence along the reverse solve.
+
+    ``trace_mesh``: optional `Mesh` — shard exact-trace Jacobian columns
+    across devices instead of the batch (for B << n_devices scoring).
     """
     B, D = x.shape
     eps = _draw_probes(key, B, D, cfg) if approx else None
-    func = _augmented_field(cnf, params, features, approx, eps, cfg)
+    func = _augmented_field(cnf, params, features, approx, eps, cfg, trace_mesh)
     y0 = jnp.concatenate([x, jnp.zeros((B, 1), x.dtype)], axis=-1)
     y1, stats = _solve(func, y0, 1.0, 0.0, cfg)
     x0, delta_log_lik = y1[:, :-1], y1[:, -1]

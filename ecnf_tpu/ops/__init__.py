@@ -15,6 +15,7 @@ from ecnf_tpu.ops.ode import odeint, odeint_adaptive, odeint_fixed, ODEStats
 from ecnf_tpu.ops.divergence import (
     exact_divergence,
     hutchinson_divergence,
+    sharded_value_and_exact_divergence,
     value_and_exact_divergence,
     value_and_hutchinson_divergence,
 )

@@ -79,6 +79,69 @@ def exact_divergence(
     return value_and_exact_divergence(f, x, column_chunk)[1]
 
 
+def sharded_value_and_exact_divergence(
+    f: BatchedField,
+    x: jax.Array,
+    mesh,
+    axis_name: str = "data",
+    batch_axis: Optional[str] = None,
+) -> "tuple[jax.Array, jax.Array]":
+    """Exact divergence with the D Jacobian columns sharded across a mesh.
+
+    The workload's analogue of sequence parallelism (SURVEY §5): the eval
+    batch axis is the usual sharding axis, but for *small-batch* scoring
+    (single-molecule log-prob, latency-sensitive serving) the D tangent
+    columns are the bigger axis — e.g. D=57 for QM9 vs a batch of 1.  Here
+    every device linearizes the field once on its batch shard and runs
+    only its ``D / n_devices`` basis columns; one ``psum`` over ICI
+    produces the full trace.
+
+    On a 2-D ``(batch_axis, axis_name)`` mesh both axes shard at once:
+    each device holds ``B / n_batch`` samples x ``D / n_trace`` columns.
+
+    Args:
+        f: batched field; must act independently per batch element.
+        x: ``[B, D]`` evaluation points (sharded along ``batch_axis`` if
+            given, else replicated).
+        mesh: the `jax.sharding.Mesh` to shard over.
+        axis_name: mesh axis carrying the trace columns (reuses the data
+            axis on the standard 1-D mesh).
+        batch_axis: optional mesh axis carrying the batch.
+
+    Returns:
+        ``(f(x) [B, D], divergence [B])``, sharded along ``batch_axis``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, D = x.shape
+    n = mesh.shape[axis_name]
+    n_pad = (-D) % n
+    # Padded rows are zero vectors: their JVP contributes 0 to the trace.
+    basis = jnp.concatenate(
+        [jnp.eye(D, dtype=x.dtype), jnp.zeros((n_pad, D), x.dtype)], axis=0
+    )
+
+    def local(x_loc, basis_local):
+        Bl = x_loc.shape[0]
+        value, jvp_lin = jax.linearize(f, x_loc)
+
+        def col(e):
+            jv = jvp_lin(jnp.broadcast_to(e, (Bl, D)))
+            return jnp.sum(jv * e[None, :], axis=-1)
+
+        partial = jnp.sum(jax.vmap(col)(basis_local), axis=0)
+        return value, jax.lax.psum(partial, axis_name)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(batch_axis), P(axis_name)),
+        out_specs=(P(batch_axis), P(batch_axis)),
+        check_vma=False,
+    )(x, basis)
+
+
 def value_and_hutchinson_divergence(
     f: BatchedField, x: jax.Array, eps: jax.Array
 ) -> "tuple[jax.Array, jax.Array]":

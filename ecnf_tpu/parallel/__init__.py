@@ -1,6 +1,8 @@
 from ecnf_tpu.parallel.mesh import (
     DATA_AXIS,
+    TRACE_AXIS,
     get_mesh,
+    get_mesh_2d,
     replicated,
     data_sharded,
     shard_batch,

@@ -23,6 +23,30 @@ def get_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = DA
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+TRACE_AXIS = "trace"
+
+
+def get_mesh_2d(
+    n_data: int,
+    n_trace: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: "tuple[str, str]" = (DATA_AXIS, TRACE_AXIS),
+) -> Mesh:
+    """Build a 2-D ``(data, trace)`` mesh for batch x Jacobian-column sharding.
+
+    Exact-trace eval has two independent parallel axes: the batch and the D
+    tangent columns (SURVEY §5 — this workload's sequence-parallel
+    analogue).  A ``(n_data, n_trace)`` mesh shards both at once; see
+    `ecnf_tpu.ops.divergence.sharded_value_and_exact_divergence`.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_trace is None:
+        n_trace = len(devices) // n_data
+    assert n_data * n_trace == len(devices), (n_data, n_trace, len(devices))
+    return Mesh(np.asarray(devices).reshape(n_data, n_trace), axis_names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Sharding that replicates a value on every device of the mesh."""
     return NamedSharding(mesh, P())
