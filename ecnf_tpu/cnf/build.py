@@ -91,6 +91,22 @@ def build_cnf(
         stable_mlp=stable_mlp,
         compute_dtype=compute_dtype,
     )
+    # Fused forward+exact-divergence Pallas kernel (optional fast path for
+    # the exact-trace ODE solves).  Only built for the plain constant-width
+    # MLP EGNN, which is what every shipped config uses.
+    fused = None
+    if not stable_mlp and len(set(mlp_units)) == 1:
+        from ecnf_tpu.ops.pallas.trace_kernel import egnn_value_and_div_fused
+
+        def fused(params, x, t, features, batch_tile=8, interpret=False):
+            return egnn_value_and_div_fused(
+                params, x, t, features,
+                n_nodes=n_frames, dim=dim, n_blocks=n_blocks_egnn,
+                mlp_units=tuple(mlp_units),
+                time_embedding_dim=time_embedding_dim,
+                batch_tile=batch_tile, interpret=interpret,
+            )
+
     return FlowMatchingCNF(
         init=net.init,
         apply=net.apply,
@@ -100,6 +116,7 @@ def build_cnf(
         ),
         log_prob_base=base.log_prob,
         sample_and_log_prob_base=base.sample_and_log_prob,
+        fused_value_and_div=fused,
     )
 
 

@@ -4,7 +4,7 @@ Parity with the reference's `ecnf/cnf/core.py:35-49` but batched-first:
 the conditional path operates directly on ``[B, D]`` batches (the reference
 defines it per-sample and vmaps at the call site, `ecnf/cnf/loss.py:25`).
 """
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 
@@ -47,6 +47,13 @@ class FlowMatchingCNF(NamedTuple):
     - ``get_x_t_and_conditional_u_t(x0, x1, t) -> (x_t, u_t)``
     - ``log_prob_base(x[...,D]) -> [...]``
     - ``sample_and_log_prob_base(key, batch_shape) -> (x, log_p)``
+
+    ``fused_value_and_div`` is an optional TPU fast path with no reference
+    analogue: ``(params, x[B,D], t[B], features, batch_tile, interpret) ->
+    (v[B,D], div[B])`` computing the field and its exact divergence in one
+    fused kernel (see `ecnf_tpu/ops/pallas/trace_kernel.py`).  ``None`` when
+    the architecture doesn't support it; selected via
+    ``SolveConfig(fused_trace=True)``.
     """
 
     init: Callable[..., Any]
@@ -57,3 +64,4 @@ class FlowMatchingCNF(NamedTuple):
     ]
     log_prob_base: Callable[[jax.Array], jax.Array]
     sample_and_log_prob_base: Callable[..., Tuple[jax.Array, jax.Array]]
+    fused_value_and_div: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None

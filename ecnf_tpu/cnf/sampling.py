@@ -51,6 +51,11 @@ class SolveConfig:
     step_size: float = 0.05
     max_steps: int = 4096
     trace_column_chunk: Optional[int] = None
+    # Use the fused forward+trace Pallas kernel for the exact divergence
+    # (requires cnf.fused_value_and_div; see ops/pallas/trace_kernel.py).
+    fused_trace: bool = False
+    fused_batch_tile: int = 8
+    fused_interpret: bool = False  # interpret-mode pallas (CPU tests)
     # Hutchinson probes for approximate log-prob (reference is fixed at 1,
     # `sample_and_log_prob.py:55`; >1 reduces estimator variance by 1/K).
     hutchinson_probes: int = 1
@@ -109,6 +114,20 @@ def _augmented_field(
     columns across its data axis (for small-batch scoring where the batch
     axis is too short to fill the mesh).
     """
+
+    if cfg.fused_trace and not approx:
+        if cnf.fused_value_and_div is None:
+            raise ValueError("fused_trace=True but this CNF has no fused kernel")
+
+        def func(t, y):
+            x = y[:, :-1]
+            v, div = cnf.fused_value_and_div(
+                params, x, jnp.broadcast_to(t, (x.shape[0],)), features,
+                batch_tile=cfg.fused_batch_tile, interpret=cfg.fused_interpret,
+            )
+            return jnp.concatenate([v, div[:, None]], axis=-1)
+
+        return func
 
     def func(t, y):
         x = y[:, :-1]
