@@ -41,6 +41,8 @@ if COMPUTE_DTYPE in ("float32", "f32", ""):
 # Jacobian columns per scan chunk for the exact trace (smaller chunks
 # pipeline better; 0/unset = all columns at once).
 TRACE_CHUNK = int(os.environ.get("ECNF_BENCH_TRACE_CHUNK", "0")) or None
+# Use the fused forward+trace Pallas kernel (ops/pallas/trace_kernel.py).
+FUSED = os.environ.get("ECNF_BENCH_FUSED", "") not in ("", "0")
 
 
 TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
@@ -113,7 +115,10 @@ def main() -> None:
     params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats[:2])
 
     cfg = SolveConfig(
-        use_fixed_step_size=True, step_size=0.05, trace_column_chunk=TRACE_CHUNK
+        use_fixed_step_size=True,
+        step_size=0.05,
+        trace_column_chunk=TRACE_CHUNK,
+        fused_trace=FUSED,
     )
 
     def run(key):
