@@ -182,3 +182,22 @@ class TestLoop:
         # Resume: latest checkpoint is at iteration 3 (final) -> 0 updates.
         _, state = run_training(TrainConfig(logger=ListLogger(), resume=True, **base))
         assert float(state["w"][0]) == 4.0  # restored, not re-run
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/examples/config"),
+    reason="reference repo not mounted",
+)
+def test_reference_yaml_configs_parse_verbatim():
+    """A reference user's own hydra YAMLs load unchanged (SURVEY §2 configs)."""
+    import glob
+
+    files = sorted(glob.glob("/root/reference/examples/config/*.yaml"))
+    assert len(files) == 4
+    for f in files:
+        cfg = load_config(f)
+        assert cfg.training.batch_size > 0
+        assert len(cfg.flow.network.mlp_units) >= 1
+    # interpolation resolved (qm9.yaml: eval_batch_size: ${training.batch_size})
+    qm9 = load_config([f for f in files if f.endswith("qm9.yaml")][0])
+    assert qm9.training.eval_batch_size == qm9.training.batch_size == 256
