@@ -4,6 +4,8 @@ Drives the actual experiment entry points (setup_training + run_training)
 for DW4 (energies + forward ESS path) and ALDP (h5 loading, per-atom-index
 features, EMA path) at tiny scale.
 """
+import os
+import subprocess
 import sys
 from pathlib import Path
 
@@ -61,6 +63,97 @@ class TestExamplesE2E:
         assert (tmp_path / "model_checkpoints").exists()
         assert any((tmp_path / "plots").iterdir())
 
+    def test_lj13_end_to_end(self, tmp_path):
+        """LJ13 path: 13-node EGNN, LJ energies, reverse-ESS model samples.
+
+        Uses a synthetic low-energy dataset (noisy icosahedra — the LJ13
+        ground-state geometry) written in the `lj13_generated.npy` layout so
+        the loader's regenerated-data branch is exercised without running
+        HMC in the test.
+        """
+        from ecnf_tpu.targets.data import load_lj13
+        from ecnf_tpu.targets.energies import lennard_jones_log_prob
+        from ecnf_tpu.targets.mcmc import icosahedron_with_center
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        confs = icosahedron_with_center(
+            2040, jax.random.PRNGKey(0), noise=0.02
+        )
+        np.save(data_dir / "lj13_generated.npy", np.asarray(confs, np.float64))
+
+        cfg = load_config(
+            str(REPO / "examples/configs/lj13.yaml"),
+            overrides=_tiny_overrides(
+                tmp_path / "run",
+                extra=(
+                    "flow.network.compute_dtype=null",
+                    "training.eval_n_model_samples=4",
+                    "training.final_run=true",
+                ),
+            ),
+        )
+
+        def load_dataset(train_size, test_size):
+            train, valid, test = load_lj13(train_size, path=data_dir)
+            return train, test[:test_size]
+
+        tc = setup_training(
+            cfg, load_dataset, target_log_prob_fn=lennard_jones_log_prob
+        )
+        logger, state = run_training(tc)
+        hist = logger.history
+        assert np.isfinite(hist["loss"]).all()
+        # Reverse-ESS path ran against the LJ energy.
+        assert "rv_ess" in hist
+        # 13-node exact trace (D=39) produced finite test log-liks.
+        assert np.isfinite(hist["test_log_lik"]).all()
+
+    def test_qm9_end_to_end_synthetic(self, tmp_path):
+        """QM9 path: 19-atom padded data, EMA, Hutchinson eval, no energy.
+
+        Synthetic `qm9pos_{train,valid,test}.npy` files of the real shapes
+        stand in for the (egress-requiring) figshare download.
+        """
+        from ecnf_tpu.targets.data import load_qm9
+
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for name, n in [("train", 48), ("valid", 16), ("test", 16)]:
+            pos = rng.normal(size=(n, 19, 3)).astype(np.float64)
+            np.save(data_dir / f"qm9pos_{name}.npy", pos)
+
+        cfg = load_config(
+            str(REPO / "examples/configs/qm9.yaml"),
+            overrides=_tiny_overrides(
+                tmp_path / "run",
+                extra=(
+                    "flow.network.compute_dtype=null",
+                    "training.train_set_size=32",
+                    "training.test_set_size=16",
+                    "training.eval_batch_size=8",
+                    "training.use_ema=true",
+                    "training.eval_exact_log_prob=false",
+                ),
+            ),
+        )
+        assert cfg.training.eval_n_model_samples is None  # no QM9 energy
+
+        def load_dataset(train_size, test_size):
+            train, valid, test = load_qm9(train_size, path=data_dir)
+            return train, test[:test_size]
+
+        tc = setup_training(cfg, load_dataset)
+        logger, state = run_training(tc)
+        assert state.ema_params is not None
+        hist = logger.history
+        assert np.isfinite(hist["loss"]).all()
+        # Hutchinson (approx) eval produced finite test log-liks; no
+        # reverse-ESS metrics without an energy function.
+        assert np.isfinite(hist["test_log_lik"]).all()
+        assert "rv_ess" not in hist
+
     def test_aldp_end_to_end_with_ema(self, tmp_path):
         h5 = REPO / "data" / "aldp_500K_train_mini.h5"
         if not h5.exists():
@@ -97,3 +190,38 @@ class TestExamplesE2E:
         # 22-atom per-index features drove a 22-entry embedding.
         emb = state.params["params"]["Embed_0"]["embedding"]
         assert emb.shape[0] == 22
+
+
+@pytest.mark.slow
+def test_dw4_cli_subprocess(tmp_path):
+    """Drive the actual `examples/dw4.py` CLI as a user would: `--local`
+    debug block + dotted overrides winning over it (reference
+    `examples/dw4.py:22-38` semantics), in a fresh process."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip TPU-tunnel registration
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [
+            sys.executable,
+            "dw4.py",
+            "--local",
+            "training.n_training_iter=1",
+            "training.test_set_size=16",
+            "training.train_set_size=24",
+            "training.eval_batch_size=8",
+            "training.plot_batch_size=8",
+            "training.eval_n_model_samples=4",
+            "flow.network.mlp_units=[8]",
+            "flow.network.n_blocks_egnn=1",
+            "flow.network.n_invariant_feat_hidden=4",
+            f"training.save_dir={tmp_path}",
+        ],
+        cwd=str(REPO / "examples"),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    # The list logger prints eval info dicts; training must have evaluated.
+    assert "test_log_lik" in result.stdout + result.stderr, result.stdout[-2000:]
