@@ -107,6 +107,23 @@ def build_cnf(
                 batch_tile=batch_tile, interpret=interpret,
             )
 
+    # Structural exact-trace shortcut: the EGNN is translation-invariant up
+    # to its output recentring (`models/egnn.py:178,205`), so
+    # ``f(x + 1 (x) delta) = f(x) - final_scaling * 1 (x) delta`` exactly and
+    # each of the ``dim`` uniform-translation directions is a Jacobian
+    # eigenvector with eigenvalue ``-final_scaling``.  The exact trace thus
+    # needs JVPs only on the ``(n_frames-1)*dim`` zero-CoM basis columns,
+    # plus the analytic translation term ``-dim * final_scaling`` — 3 fewer
+    # network streams per ODE stage at LJ13 (39 -> 36), verified exact in
+    # `tests/test_ode.py`.
+    from ecnf_tpu.ops.divergence import zero_com_trace_basis
+
+    com_basis = zero_com_trace_basis(n_frames, dim)
+
+    def exact_trace_plan(params):
+        s = params["params"]["EGNN_0"]["final_scaling"]
+        return com_basis, -dim * s
+
     return FlowMatchingCNF(
         init=net.init,
         apply=net.apply,
@@ -117,6 +134,7 @@ def build_cnf(
         log_prob_base=base.log_prob,
         sample_and_log_prob_base=base.sample_and_log_prob,
         fused_value_and_div=fused,
+        exact_trace_plan=exact_trace_plan,
     )
 
 

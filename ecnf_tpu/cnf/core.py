@@ -54,6 +54,16 @@ class FlowMatchingCNF(NamedTuple):
     fused kernel (see `ecnf_tpu/ops/pallas/trace_kernel.py`).  ``None`` when
     the architecture doesn't support it; selected via
     ``SolveConfig(fused_trace=True)``.
+
+    ``exact_trace_plan`` is an optional structural shortcut for the exact
+    Jacobian trace (no reference analogue): ``params -> (basis [K, D],
+    trace_offset [])`` such that ``trace(J) = sum_k u_k^T J u_k +
+    trace_offset`` exactly, with ``K < D`` orthonormal rows.  For the EGNN
+    field the ``dim`` uniform-translation directions are exact eigenvectors
+    with eigenvalue ``-final_scaling`` (the torso is translation-invariant;
+    only the output recentring depends on the mean, `models/egnn.py:178,205`),
+    so only the ``(N-1)*dim`` zero-CoM columns need JVPs.  Used by default on
+    exact-trace solves; disable via ``SolveConfig(use_exact_trace_plan=False)``.
     """
 
     init: Callable[..., Any]
@@ -65,3 +75,4 @@ class FlowMatchingCNF(NamedTuple):
     log_prob_base: Callable[[jax.Array], jax.Array]
     sample_and_log_prob_base: Callable[..., Tuple[jax.Array, jax.Array]]
     fused_value_and_div: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None
+    exact_trace_plan: Optional[Callable[[Any], Tuple[jax.Array, jax.Array]]] = None

@@ -59,6 +59,11 @@ class SolveConfig:
     # Hutchinson probes for approximate log-prob (reference is fixed at 1,
     # `sample_and_log_prob.py:55`; >1 reduces estimator variance by 1/K).
     hutchinson_probes: int = 1
+    # Use the CNF's structural exact-trace shortcut when available
+    # (`FlowMatchingCNF.exact_trace_plan`): JVP only the zero-CoM basis
+    # columns and add the analytic translation term.  Mathematically exact
+    # (tested); disable to force the identity-basis full trace.
+    use_exact_trace_plan: bool = True
 
 
 def _solve(func, y0, t0, t1, cfg: SolveConfig) -> Tuple[jax.Array, ODEStats]:
@@ -129,6 +134,10 @@ def _augmented_field(
 
         return func
 
+    basis = offset = None
+    if not approx and cfg.use_exact_trace_plan and cnf.exact_trace_plan is not None:
+        basis, offset = cnf.exact_trace_plan(params)
+
     def func(t, y):
         x = y[:, :-1]
 
@@ -141,10 +150,13 @@ def _augmented_field(
             else:
                 v, div = value_and_hutchinson_divergence(f_x, x, eps)
         elif trace_mesh is not None:
-            v, div = sharded_value_and_exact_divergence(f_x, x, trace_mesh)
+            v, div = sharded_value_and_exact_divergence(
+                f_x, x, trace_mesh, basis=basis, trace_offset=offset
+            )
         else:
             v, div = value_and_exact_divergence(
-                f_x, x, column_chunk=cfg.trace_column_chunk
+                f_x, x, column_chunk=cfg.trace_column_chunk,
+                basis=basis, trace_offset=offset,
             )
         return jnp.concatenate([v, div[:, None]], axis=-1)
 

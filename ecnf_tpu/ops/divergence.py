@@ -25,7 +25,11 @@ BatchedField = Callable[[jax.Array], jax.Array]  # [B, D] -> [B, D]
 
 
 def value_and_exact_divergence(
-    f: BatchedField, x: jax.Array, column_chunk: Optional[int] = None
+    f: BatchedField,
+    x: jax.Array,
+    column_chunk: Optional[int] = None,
+    basis: Optional[jax.Array] = None,
+    trace_offset: Optional[jax.Array] = None,
 ) -> "tuple[jax.Array, jax.Array]":
     """Field value and exact per-sample divergence in one linearization.
 
@@ -39,36 +43,52 @@ def value_and_exact_divergence(
         x: ``[B, D]`` evaluation points.
         column_chunk: if set, process Jacobian columns in chunks of this size
             via `lax.scan` (bounds peak memory to ``chunk`` forward passes).
+        basis: optional ``[K, D]`` orthonormal rows restricting the trace:
+            the returned divergence is ``sum_k u_k^T J u_k (+ trace_offset)``.
+            With ``K < D`` this is cheaper than the full trace — use when the
+            complement's contribution is known analytically (see
+            `cnf/build.py`: the EGNN's translation directions are exact
+            eigenvectors, so only the 36 zero-CoM columns need JVPs).
+            ``None`` = identity basis = full exact trace.
+        trace_offset: analytic contribution of the complement of
+            ``span(basis)`` (scalar, may depend on params).
 
     Returns:
         ``(f(x) [B, D], divergence [B])``.
     """
     B, D = x.shape
-    basis = jnp.eye(D, dtype=x.dtype)
+    if basis is None:
+        basis = jnp.eye(D, dtype=x.dtype)
+    else:
+        basis = basis.astype(x.dtype)
+    K = basis.shape[0]
 
     # Linearize once: the primal (with all its nonlinear activations) is
     # computed a single time; each Jacobian column is then one application
     # of the linear map — ~2x cheaper than re-running jvp per column.
     value, jvp_lin = jax.linearize(f, x)
 
-    def col(e):  # e: [D] -> diag contribution [B]
+    def col(e):  # e: [D] -> diag contribution u^T J u, [B]
         jv = jvp_lin(jnp.broadcast_to(e, (B, D)))
-        # jv[b, :] = J_b @ e ; the diagonal entry is (J_b @ e_d)[d].
+        # jv[b, :] = J_b @ e ; the diagonal contribution is e . (J_b @ e).
         return jnp.sum(jv * e[None, :], axis=-1)
 
-    if column_chunk is None or column_chunk >= D:
-        return value, jnp.sum(jax.vmap(col)(basis), axis=0)
+    if column_chunk is None or column_chunk >= K:
+        div = jnp.sum(jax.vmap(col)(basis), axis=0)
+    else:
+        # Pad K up to a multiple of the chunk so scan sees a static shape.
+        n_chunks = -(-K // column_chunk)
+        pad = n_chunks * column_chunk - K
+        basis_p = jnp.concatenate([basis, jnp.zeros((pad, D), x.dtype)], axis=0)
+        basis_p = basis_p.reshape(n_chunks, column_chunk, D)
 
-    # Pad D up to a multiple of the chunk so scan sees a static shape.
-    n_chunks = -(-D // column_chunk)
-    pad = n_chunks * column_chunk - D
-    basis_p = jnp.concatenate([basis, jnp.zeros((pad, D), x.dtype)], axis=0)
-    basis_p = basis_p.reshape(n_chunks, column_chunk, D)
+        def scan_body(acc, es):
+            return acc + jnp.sum(jax.vmap(col)(es), axis=0), None
 
-    def scan_body(acc, es):
-        return acc + jnp.sum(jax.vmap(col)(es), axis=0), None
+        div, _ = jax.lax.scan(scan_body, jnp.zeros((B,), x.dtype), basis_p)
 
-    div, _ = jax.lax.scan(scan_body, jnp.zeros((B,), x.dtype), basis_p)
+    if trace_offset is not None:
+        div = div + jnp.asarray(trace_offset, x.dtype)
     return value, div
 
 
@@ -79,12 +99,40 @@ def exact_divergence(
     return value_and_exact_divergence(f, x, column_chunk)[1]
 
 
+def zero_com_trace_basis(n_nodes: int, dim: int) -> jax.Array:
+    """Orthonormal basis of the zero-centre-of-mass hyperplane, flattened.
+
+    Returns ``[(n_nodes-1)*dim, n_nodes*dim]`` rows ``u_{k,d}`` built from the
+    Helmert basis of the zero-sum subspace of R^{n_nodes}:
+    ``u_{k,d}[i*dim + j] = w_k[i] * delta_{jd}`` — orthonormal, each with zero
+    per-dimension node sum, together with the ``dim`` uniform-translation
+    directions completing an orthonormal basis of R^{n_nodes*dim}.
+
+    Used to split the exact Jacobian trace of a translation-structured field
+    (EGNN with output recentring, `models/egnn.py:204-208`) into JVP columns
+    on this basis plus an analytic translation term (`cnf/build.py`).
+    """
+    import numpy as np
+
+    w = np.zeros((n_nodes - 1, n_nodes))
+    for k in range(1, n_nodes):
+        norm = 1.0 / np.sqrt(k * (k + 1.0))
+        w[k - 1, :k] = norm
+        w[k - 1, k] = -k * norm
+    basis = np.einsum("kn,dj->kdnj", w, np.eye(dim))  # [K, dim, N, dim]
+    return jnp.asarray(
+        basis.reshape((n_nodes - 1) * dim, n_nodes * dim), dtype=jnp.float32
+    )
+
+
 def sharded_value_and_exact_divergence(
     f: BatchedField,
     x: jax.Array,
     mesh,
     axis_name: str = "data",
     batch_axis: Optional[str] = None,
+    basis: Optional[jax.Array] = None,
+    trace_offset: Optional[jax.Array] = None,
 ) -> "tuple[jax.Array, jax.Array]":
     """Exact divergence with the D Jacobian columns sharded across a mesh.
 
@@ -116,11 +164,13 @@ def sharded_value_and_exact_divergence(
 
     B, D = x.shape
     n = mesh.shape[axis_name]
-    n_pad = (-D) % n
+    if basis is None:
+        basis = jnp.eye(D, dtype=x.dtype)
+    else:
+        basis = basis.astype(x.dtype)
+    n_pad = (-basis.shape[0]) % n
     # Padded rows are zero vectors: their JVP contributes 0 to the trace.
-    basis = jnp.concatenate(
-        [jnp.eye(D, dtype=x.dtype), jnp.zeros((n_pad, D), x.dtype)], axis=0
-    )
+    basis = jnp.concatenate([basis, jnp.zeros((n_pad, D), x.dtype)], axis=0)
 
     def local(x_loc, basis_local):
         Bl = x_loc.shape[0]
@@ -133,13 +183,16 @@ def sharded_value_and_exact_divergence(
         partial = jnp.sum(jax.vmap(col)(basis_local), axis=0)
         return value, jax.lax.psum(partial, axis_name)
 
-    return shard_map(
+    value, div = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(batch_axis), P(axis_name)),
         out_specs=(P(batch_axis), P(batch_axis)),
         check_vma=False,
     )(x, basis)
+    if trace_offset is not None:
+        div = div + jnp.asarray(trace_offset, x.dtype)
+    return value, div
 
 
 def value_and_hutchinson_divergence(

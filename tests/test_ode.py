@@ -198,6 +198,105 @@ class TestDivergence:
         np.testing.assert_allclose(jnp.mean(ests, axis=0), exact, rtol=0.1)
 
 
+class TestExactTracePlan:
+    """The EGNN structural trace shortcut (`FlowMatchingCNF.exact_trace_plan`):
+    JVPs on the zero-CoM basis + analytic ``-dim * final_scaling`` translation
+    term must reproduce the full identity-basis trace exactly."""
+
+    N, DIM = 5, 3
+
+    def _cnf_and_params(self, final_scaling=1.37):
+        from ecnf_tpu.cnf.build import build_cnf
+
+        cnf = build_cnf(
+            n_frames=self.N, dim=self.DIM, sigma_min=0.01, base_scale=1.0,
+            n_blocks_egnn=2, mlp_units=(16, 16), n_invariant_feat_hidden=8,
+            time_embedding_dim=4, n_features=1,
+        )
+        B = 3
+        feats = jnp.zeros((B, self.N), dtype=jnp.int32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, self.N * self.DIM))
+        params = cnf.init(jax.random.PRNGKey(1), x[:2], jnp.zeros(2), feats[:2])
+        # Non-trivial final_scaling so the analytic term is exercised.
+        params = jax.tree_util.tree_map(lambda a: a, params)
+        params["params"]["EGNN_0"]["final_scaling"] = jnp.asarray(final_scaling)
+        return cnf, params, x, feats
+
+    def test_zero_com_basis_orthonormal_and_complete(self):
+        from ecnf_tpu.ops.divergence import zero_com_trace_basis
+
+        basis = zero_com_trace_basis(self.N, self.DIM)  # [12, 15]
+        K, D = basis.shape
+        assert (K, D) == ((self.N - 1) * self.DIM, self.N * self.DIM)
+        np.testing.assert_allclose(basis @ basis.T, np.eye(K), atol=1e-6)
+        # Rows are orthogonal to every uniform-translation direction.
+        for d in range(self.DIM):
+            u = np.zeros((self.N, self.DIM))
+            u[:, d] = 1.0 / np.sqrt(self.N)
+            np.testing.assert_allclose(basis @ u.reshape(-1), 0.0, atol=1e-6)
+
+    def test_egnn_translation_is_exact_eigenvector(self):
+        """f(x + 1(x)delta) - f(x) = -final_scaling * 1(x)delta, exactly the
+        structure the analytic trace term relies on."""
+        cnf, params, x, feats = self._cnf_and_params()
+        t = jnp.full((x.shape[0],), 0.3)
+        s = params["params"]["EGNN_0"]["final_scaling"]
+        for d in range(self.DIM):
+            u = np.zeros((self.N, self.DIM), np.float32)
+            u[:, d] = 1.0
+            u = jnp.asarray(u.reshape(-1))
+            tangent = jnp.broadcast_to(u, x.shape)
+            _, jv = jax.jvp(lambda xb: cnf.apply(params, xb, t, feats), (x,), (tangent,))
+            np.testing.assert_allclose(jv, -s * tangent, rtol=1e-5, atol=1e-5)
+
+    def test_plan_trace_matches_full_trace(self):
+        from ecnf_tpu.ops.divergence import value_and_exact_divergence
+
+        cnf, params, x, feats = self._cnf_and_params()
+        t = jnp.full((x.shape[0],), 0.7)
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        basis, offset = cnf.exact_trace_plan(params)
+        v_full, div_full = value_and_exact_divergence(f, x)
+        v_plan, div_plan = value_and_exact_divergence(
+            f, x, basis=basis, trace_offset=offset
+        )
+        np.testing.assert_allclose(v_plan, v_full, rtol=1e-6)
+        np.testing.assert_allclose(div_plan, div_full, rtol=1e-5, atol=1e-5)
+
+    def test_log_prob_plan_on_equals_off(self):
+        from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob
+
+        cnf, params, x, feats = self._cnf_and_params()
+        key = jax.random.PRNGKey(3)
+        cfg_on = SolveConfig(use_fixed_step_size=True, step_size=0.25)
+        cfg_off = SolveConfig(
+            use_fixed_step_size=True, step_size=0.25, use_exact_trace_plan=False
+        )
+        lp_on, _, _ = get_log_prob(cnf, params, x, key, feats, cfg=cfg_on)
+        lp_off, _, _ = get_log_prob(cnf, params, x, key, feats, cfg=cfg_off)
+        np.testing.assert_allclose(lp_on, lp_off, rtol=1e-5, atol=1e-4)
+
+    def test_sharded_columns_with_plan_basis(self):
+        from ecnf_tpu.ops.divergence import (
+            sharded_value_and_exact_divergence,
+            value_and_exact_divergence,
+        )
+        from ecnf_tpu.parallel import get_mesh
+
+        cnf, params, x, feats = self._cnf_and_params()
+        t = jnp.full((x.shape[0],), 0.5)
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        basis, offset = cnf.exact_trace_plan(params)
+        mesh = get_mesh()  # 8 devices; 12 basis rows pad to 16
+        _, div_ref = value_and_exact_divergence(f, x)
+        _, div = jax.jit(
+            lambda xb: sharded_value_and_exact_divergence(
+                f, xb, mesh, basis=basis, trace_offset=offset
+            )
+        )(x)
+        np.testing.assert_allclose(div, div_ref, rtol=1e-5, atol=1e-5)
+
+
 class TestDispatch:
     def test_odeint_dispatch(self):
         y0 = jnp.ones((2, 2))
