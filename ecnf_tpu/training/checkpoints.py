@@ -54,19 +54,28 @@ def save_checkpoint(checkpoints_dir: str, iteration: int, state: Any) -> str:
     return path
 
 
-def restore_checkpoint(path: str, target: Any) -> Any:
+def restore_checkpoint(path: str, target: Any, partial: bool = False) -> Any:
     """Restore a checkpoint onto the structure (and shardings) of ``target``.
 
     ``target`` supplies the pytree structure and the intended shardings (for
     restores onto a different mesh topology), replacing the reference's
     pmap re-replication hack (`loop.py:104-106` — which silently dropped
     ema_params; restoring onto an explicit target avoids that bug class).
+
+    ``partial=True`` restores a subtree of the saved state (e.g. only
+    ``{"params": ...}`` out of a full `TrainingState` checkpoint) — the
+    serving/benchmark path, which doesn't need optimizer state.
     """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-    restored = ckptr.restore(os.path.abspath(path), item=abstract)
+    if partial:
+        restored = ckptr.restore(
+            os.path.abspath(path), item=abstract, partial_restore=True
+        )
+    else:
+        restored = ckptr.restore(os.path.abspath(path), item=abstract)
     # Re-place leaves on the target's shardings.
     def place(t, r):
         if hasattr(t, "sharding"):

@@ -81,7 +81,7 @@ def main():
     if latest is not None:
         print(f"restoring {latest}")
         state_like = {"params": params}
-        params = restore_checkpoint(latest, state_like)["params"]
+        params = restore_checkpoint(latest, state_like, partial=True)["params"]
     else:
         print("no checkpoint found; timing a randomly initialized model")
 

@@ -10,6 +10,7 @@ import sys
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -190,6 +191,67 @@ class TestExamplesE2E:
         # 22-atom per-index features drove a 22-entry embedding.
         emb = state.params["params"]["Embed_0"]["embedding"]
         assert emb.shape[0] == 22
+
+
+@pytest.mark.slow
+def test_score_cli_subprocess(tmp_path):
+    """Serving surface: save a checkpoint, then score a .npy of
+    configurations through `examples/score.py` in a fresh process."""
+    from ecnf_tpu.cnf.build import build_cnf
+    from ecnf_tpu.training.checkpoints import save_checkpoint
+    from ecnf_tpu.training.config import load_config
+    from ecnf_tpu.training.optim import build_optimizer
+    from ecnf_tpu.training.state import init_training_state
+
+    overrides = [
+        "flow.network.mlp_units=[8]",
+        "flow.network.n_blocks_egnn=1",
+        "flow.network.n_invariant_feat_hidden=4",
+        "flow.network.time_embedding_dim=4",
+        "flow.network.compute_dtype=null",
+        "training.use_fixed_step_size=true",
+    ]
+    cfg = load_config(str(REPO / "examples/configs/dw4.yaml"), overrides=overrides)
+    net = cfg.flow.network
+    cnf = build_cnf(
+        n_frames=4, dim=2, sigma_min=cfg.flow.sigma_min,
+        base_scale=cfg.flow.base_scale, n_blocks_egnn=net.n_blocks_egnn,
+        mlp_units=tuple(net.mlp_units),
+        n_invariant_feat_hidden=net.n_invariant_feat_hidden,
+        time_embedding_dim=net.time_embedding_dim, n_features=1,
+    )
+    x_ex = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+    feats_ex = np.zeros((2, 4), np.int32)
+    state = init_training_state(
+        cnf, build_optimizer(1e-4, use_schedule=False), jax.random.PRNGKey(1),
+        x_ex, jnp.asarray(feats_ex),
+    )
+    ckpt_dir = tmp_path / "model_checkpoints"
+    save_checkpoint(str(ckpt_dir), 7, state)
+
+    data = np.random.default_rng(0).normal(size=(6, 4, 2))
+    np.save(tmp_path / "pos.npy", data)
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [
+            sys.executable, "score.py",
+            "--config", "configs/dw4.yaml",
+            "--checkpoint-dir", str(ckpt_dir),
+            "--data", str(tmp_path / "pos.npy"),
+            "--output", str(tmp_path / "lp.npy"),
+            "--batch-size", "4",
+            *overrides,
+        ],
+        cwd=str(REPO / "examples"),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    lp = np.load(tmp_path / "lp.npy")
+    assert lp.shape == (6,) and np.isfinite(lp).all()
+    assert "mean log-prob" in result.stdout
 
 
 @pytest.mark.slow
