@@ -1,0 +1,103 @@
+"""Decompose the bf16 exact-trace stage cost: slope/intercept vs column count.
+
+docs/PERF.md records that the structural trace plan (36 columns instead of
+39 for LJ13) gains the full FLOP saving in f32 (+7.8%) but only +1.6% in
+bf16 — i.e. the bf16 stage is partly bound by something that does NOT scale
+with the number of tangent columns.  This script pins that down: it times
+one jitted `value_and_exact_divergence` stage at the headline LJ13 shape
+for K ∈ {0, 1, 2, 4, 8, 16, 36} basis columns, in bf16 and f32 compute,
+and fits time(K) = intercept + slope * K.
+
+Interpretation:
+- slope   = marginal cost per Jacobian column (the streamed JVP work);
+- intercept = primal pass + per-dispatch/layout cost independent of K.
+If the bf16 intercept is large relative to f32, the gap is layout/transition
+work between the f32 geometry segments and bf16 MLP segments, not FLOPs —
+candidate fix: bf16 tangent geometry with f32 divergence accumulation.
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecnf_tpu.cnf.build import build_cnf
+from ecnf_tpu.ops.divergence import (
+    value_and_exact_divergence,
+    zero_com_trace_basis,
+)
+
+B, N, DIM = 256, 13, 3
+D = N * DIM
+
+
+def timeit(fn, *args, reps=7):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def study(compute_dtype):
+    cnf = build_cnf(
+        n_frames=N, dim=DIM, sigma_min=0.01, base_scale=1.0,
+        n_blocks_egnn=3, mlp_units=(128, 128, 128),
+        n_invariant_feat_hidden=64, time_embedding_dim=8, n_features=1,
+        compute_dtype=compute_dtype,
+    )
+    feats = jnp.zeros((B, N), dtype=jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D))
+    t = jnp.full((B,), 0.5)
+    params = cnf.init(jax.random.PRNGKey(1), x[:2], t[:2], feats[:2])
+    f = lambda xb: cnf.apply(params, xb, t, feats)
+    full_basis = zero_com_trace_basis(N, DIM)  # [36, D]
+
+    ks, times = [], []
+    t_fwd = timeit(jax.jit(f), x)
+    print(f"[{compute_dtype}] K= 0 (forward only): {t_fwd*1e3:7.2f} ms")
+    ks.append(0.0)
+    times.append(t_fwd)
+    for k in (1, 2, 4, 8, 16, 36):
+        basis = full_basis[:k]
+        fn = jax.jit(lambda xb, b=basis: value_and_exact_divergence(f, xb, basis=b))
+        dt = timeit(fn, x)
+        print(f"[{compute_dtype}] K={k:2d}: {dt*1e3:7.2f} ms")
+        ks.append(float(k))
+        times.append(dt)
+
+    slope, intercept = np.polyfit(ks, times, 1)
+    resid = np.array(times) - (intercept + slope * np.array(ks))
+    print(
+        f"[{compute_dtype}] fit: intercept {intercept*1e3:.2f} ms, "
+        f"slope {slope*1e3:.3f} ms/col, max resid {np.abs(resid).max()*1e3:.2f} ms"
+    )
+    return intercept, slope
+
+
+def main():
+    res = {}
+    for dtype in ("float32", "bfloat16"):
+        res[dtype] = study(dtype)
+    i32, s32 = res["float32"]
+    i16, s16 = res["bfloat16"]
+    print(
+        f"\nbf16/f32 slope ratio {s16/s32:.2f} (FLOP-bound would be ~0.5); "
+        f"bf16/f32 intercept ratio {i16/i32:.2f}"
+    )
+    print(
+        f"at K=36: intercept share f32 {i32/(i32+36*s32)*100:.0f}%, "
+        f"bf16 {i16/(i16+36*s16)*100:.0f}%"
+    )
+
+
+if __name__ == "__main__":
+    main()
