@@ -33,9 +33,10 @@ from ecnf_tpu.ops.divergence import (
 
 B, N, DIM = 256, 13, 3
 D = N * DIM
+S = 20  # stages per dispatch: amortizes the ~28 ms tunnel latency
 
 
-def timeit(fn, *args, reps=7):
+def timeit(fn, *args, reps=5):
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
@@ -45,6 +46,20 @@ def timeit(fn, *args, reps=7):
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def scan_stages(stage):
+    """jit(scan of S stage applications) so per-dispatch latency amortizes.
+
+    The stage output feeds the next stage's input (shape-preserving), so
+    XLA cannot collapse or overlap the repeats.
+    """
+
+    def step(x, _):
+        v, div = stage(x)
+        return v + 1e-3 * div[:, None], None
+
+    return jax.jit(lambda x: jax.lax.scan(step, x, None, length=S)[0])
 
 
 def study(compute_dtype):
@@ -62,23 +77,26 @@ def study(compute_dtype):
     full_basis = zero_com_trace_basis(N, DIM)  # [36, D]
 
     ks, times = [], []
-    t_fwd = timeit(jax.jit(f), x)
-    print(f"[{compute_dtype}] K= 0 (forward only): {t_fwd*1e3:7.2f} ms")
-    ks.append(0.0)
-    times.append(t_fwd)
-    for k in (1, 2, 4, 8, 16, 36):
-        basis = full_basis[:k]
-        fn = jax.jit(lambda xb, b=basis: value_and_exact_divergence(f, xb, basis=b))
-        dt = timeit(fn, x)
-        print(f"[{compute_dtype}] K={k:2d}: {dt*1e3:7.2f} ms")
+    for k in (0, 1, 2, 4, 8, 16, 36):
+        if k == 0:
+            stage = lambda xb: (f(xb), jnp.zeros(xb.shape[0], xb.dtype))
+        else:
+            basis = full_basis[:k]
+            stage = lambda xb, b=basis: value_and_exact_divergence(f, xb, basis=b)
+        dt = timeit(scan_stages(stage), x) / S
+        print(f"[{compute_dtype}] K={k:2d}: {dt*1e3:7.2f} ms/stage")
         ks.append(float(k))
         times.append(dt)
 
-    slope, intercept = np.polyfit(ks, times, 1)
-    resid = np.array(times) - (intercept + slope * np.array(ks))
+    # Fit on K>=1 only: the K=0 program has no linearize at all, so it is a
+    # different program family; report it separately as the primal floor.
+    ks_f, ts_f = np.array(ks[1:]), np.array(times[1:])
+    slope, intercept = np.polyfit(ks_f, ts_f, 1)
+    resid = ts_f - (intercept + slope * ks_f)
     print(
-        f"[{compute_dtype}] fit: intercept {intercept*1e3:.2f} ms, "
-        f"slope {slope*1e3:.3f} ms/col, max resid {np.abs(resid).max()*1e3:.2f} ms"
+        f"[{compute_dtype}] fit (K>=1): intercept {intercept*1e3:.2f} ms, "
+        f"slope {slope*1e3:.3f} ms/col, max resid {np.abs(resid).max()*1e3:.2f} ms; "
+        f"forward-only {times[0]*1e3:.2f} ms"
     )
     return intercept, slope
 
