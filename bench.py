@@ -43,6 +43,9 @@ if COMPUTE_DTYPE in ("float32", "f32", ""):
 TRACE_CHUNK = int(os.environ.get("ECNF_BENCH_TRACE_CHUNK", "0")) or None
 # Use the fused forward+trace Pallas kernel (ops/pallas/trace_kernel.py).
 FUSED = os.environ.get("ECNF_BENCH_FUSED", "") not in ("", "0")
+# Hand-linearized trace (ops/pallas/tangent_kernel.py; default on — measured
+# 1.16x bf16 / 1.42x f32 per stage vs jax.linearize).  Set =0 to disable.
+TANGENT = os.environ.get("ECNF_BENCH_TANGENT", "1") not in ("", "0")
 
 
 TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
@@ -119,6 +122,7 @@ def main() -> None:
         step_size=0.05,
         trace_column_chunk=TRACE_CHUNK,
         fused_trace=FUSED,
+        structured_tangent=TANGENT,
     )
 
     def run(key):

@@ -107,6 +107,27 @@ def build_cnf(
                 batch_tile=batch_tile, interpret=interpret,
             )
 
+    # Hand-linearized trace fast path (ops/pallas/tangent_kernel.py): one
+    # residual-capturing primal shared by all trace columns.  Same math as
+    # jax.linearize (tested exact in f32); measured faster on TPU.
+    tangent = None
+    if not stable_mlp:
+        from ecnf_tpu.ops.pallas.tangent_kernel import egnn_value_and_trace
+
+        def tangent(
+            params, x, t, features, basis, trace_offset=None,
+            use_kernel=False, batch_tile=8, interpret=False,
+        ):
+            return egnn_value_and_trace(
+                params, x, t, features, basis,
+                n_nodes=n_frames, dim=dim, n_blocks=n_blocks_egnn,
+                mlp_units=tuple(mlp_units),
+                time_embedding_dim=time_embedding_dim,
+                compute_dtype=compute_dtype, trace_offset=trace_offset,
+                use_kernel=use_kernel, batch_tile=batch_tile,
+                interpret=interpret,
+            )
+
     # Structural exact-trace shortcut: the EGNN is translation-invariant up
     # to its output recentring (`models/egnn.py:178,205`), so
     # ``f(x + 1 (x) delta) = f(x) - final_scaling * 1 (x) delta`` exactly and
@@ -135,6 +156,7 @@ def build_cnf(
         sample_and_log_prob_base=base.sample_and_log_prob,
         fused_value_and_div=fused,
         exact_trace_plan=exact_trace_plan,
+        tangent_value_and_div=tangent,
     )
 
 

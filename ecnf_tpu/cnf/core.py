@@ -64,6 +64,14 @@ class FlowMatchingCNF(NamedTuple):
     only the output recentring depends on the mean, `models/egnn.py:178,205`),
     so only the ``(N-1)*dim`` zero-CoM columns need JVPs.  Used by default on
     exact-trace solves; disable via ``SolveConfig(use_exact_trace_plan=False)``.
+
+    ``tangent_value_and_div`` is an optional hand-linearized trace fast path
+    (no reference analogue; see `ops/pallas/tangent_kernel.py`):
+    ``(params, x, t, features, basis, trace_offset, use_kernel, batch_tile,
+    interpret) -> (v [B, D], div [B])`` — same math as `jax.linearize` but
+    with a single residual-capturing primal shared by all trace columns
+    (measured faster than linearize on TPU; default on exact solves via
+    ``SolveConfig(structured_tangent)``).
     """
 
     init: Callable[..., Any]
@@ -76,3 +84,6 @@ class FlowMatchingCNF(NamedTuple):
     sample_and_log_prob_base: Callable[..., Tuple[jax.Array, jax.Array]]
     fused_value_and_div: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None
     exact_trace_plan: Optional[Callable[[Any], Tuple[jax.Array, jax.Array]]] = None
+    tangent_value_and_div: Optional[
+        Callable[..., Tuple[jax.Array, jax.Array]]
+    ] = None

@@ -64,6 +64,18 @@ class SolveConfig:
     # columns and add the analytic translation term.  Mathematically exact
     # (tested); disable to force the identity-basis full trace.
     use_exact_trace_plan: bool = True
+    # Hand-linearized trace (`FlowMatchingCNF.tangent_value_and_div`,
+    # `ops/pallas/tangent_kernel.py`): same math as `jax.linearize`, one
+    # residual-capturing primal shared by all columns — measured faster on
+    # TPU.  Used automatically on plain exact-trace solves when the CNF
+    # supports it; set False to force `jax.linearize`.
+    structured_tangent: bool = True
+    # Run the structured tangent's edge chains in the Pallas kernel instead
+    # of XLA (measured slower at LJ13 scale — see docs/PERF.md; kept as an
+    # option for other shapes).
+    structured_tangent_kernel: bool = False
+    structured_tangent_batch_tile: int = 8
+    structured_tangent_interpret: bool = False
 
 
 def _solve(func, y0, t0, t1, cfg: SolveConfig) -> Tuple[jax.Array, ODEStats]:
@@ -137,6 +149,32 @@ def _augmented_field(
     basis = offset = None
     if not approx and cfg.use_exact_trace_plan and cnf.exact_trace_plan is not None:
         basis, offset = cnf.exact_trace_plan(params)
+
+    # Hand-linearized trace (same math as jax.linearize, one residual-
+    # capturing primal shared by all columns; `ops/pallas/tangent_kernel.py`).
+    if (
+        not approx
+        and cfg.structured_tangent
+        and cnf.tangent_value_and_div is not None
+        and trace_mesh is None
+        and cfg.trace_column_chunk is None
+    ):
+
+        def func(t, y):
+            x = y[:, :-1]
+            b = basis
+            if b is None:
+                b = jnp.eye(x.shape[-1], dtype=x.dtype)
+            v, div = cnf.tangent_value_and_div(
+                params, x, jnp.broadcast_to(t, (x.shape[0],)), features,
+                b, trace_offset=offset,
+                use_kernel=cfg.structured_tangent_kernel,
+                batch_tile=cfg.structured_tangent_batch_tile,
+                interpret=cfg.structured_tangent_interpret,
+            )
+            return jnp.concatenate([v, div[:, None]], axis=-1)
+
+        return func
 
     def func(t, y):
         x = y[:, :-1]

@@ -1,0 +1,98 @@
+"""Hand-linearized EGNN trace (`ops/pallas/tangent_kernel.py`) vs autodiff.
+
+The structured tangent path must reproduce `jax.linearize` exactly in f32
+(same math, reference semantics `ecnf/cnf/sample_and_log_prob.py:64-66`)
+across model shapes, in both the pure-XLA and the (interpret-mode) Pallas
+kernel variants, and end-to-end through `get_log_prob`.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecnf_tpu.cnf.build import build_cnf
+from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob
+from ecnf_tpu.ops.divergence import value_and_exact_divergence
+from ecnf_tpu.ops.pallas.tangent_kernel import egnn_value_and_trace
+
+
+def _setup(n, dim, blocks, units, cdt=None, B=6):
+    cnf = build_cnf(
+        n_frames=n, dim=dim, sigma_min=0.01, base_scale=1.0,
+        n_blocks_egnn=blocks, mlp_units=units,
+        n_invariant_feat_hidden=16, time_embedding_dim=8, n_features=2,
+        compute_dtype=cdt,
+    )
+    D = n * dim
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D))
+    t = jnp.linspace(0.1, 0.9, B)
+    feats = jnp.tile(jnp.arange(n) % 2, (B, 1)).astype(jnp.int32)
+    params = cnf.init(jax.random.PRNGKey(1), x[:2], t[:2], feats[:2])
+    return cnf, params, x, t, feats
+
+
+class TestStructuredTangent:
+    @pytest.mark.parametrize(
+        "n,dim,blocks,units",
+        [(5, 3, 2, (32, 32)), (4, 2, 3, (32, 32, 32)), (5, 3, 2, (32,) * 4)],
+    )
+    @pytest.mark.parametrize("use_kernel", [False, True])
+    def test_matches_linearize_f32(self, n, dim, blocks, units, use_kernel):
+        cnf, params, x, t, feats = _setup(n, dim, blocks, units)
+        basis, off = cnf.exact_trace_plan(params)
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        v_ref, div_ref = value_and_exact_divergence(
+            f, x, basis=basis, trace_offset=off
+        )
+        v, div = egnn_value_and_trace(
+            params, x, t, feats, basis,
+            n_nodes=n, dim=dim, n_blocks=blocks, mlp_units=units,
+            time_embedding_dim=8, trace_offset=off,
+            use_kernel=use_kernel, batch_tile=2, interpret=True,
+        )
+        np.testing.assert_allclose(v, v_ref, atol=1e-6)
+        np.testing.assert_allclose(div, div_ref, rtol=1e-4, atol=1e-4)
+
+    def test_identity_basis_full_trace(self):
+        # Without the trace plan the path must still give the full trace.
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        D = x.shape[-1]
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        _, div_ref = value_and_exact_divergence(f, x)
+        _, div = egnn_value_and_trace(
+            params, x, t, feats, jnp.eye(D),
+            n_nodes=5, dim=3, n_blocks=2, mlp_units=(32, 32),
+            time_embedding_dim=8, use_kernel=False,
+        )
+        np.testing.assert_allclose(div, div_ref, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_close_to_bf16_linearize(self):
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32), cdt="bfloat16")
+        basis, off = cnf.exact_trace_plan(params)
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        v_ref, div_ref = value_and_exact_divergence(
+            f, x, basis=basis, trace_offset=off
+        )
+        v, div = egnn_value_and_trace(
+            params, x, t, feats, basis,
+            n_nodes=5, dim=3, n_blocks=2, mlp_units=(32, 32),
+            time_embedding_dim=8, compute_dtype="bfloat16", trace_offset=off,
+            use_kernel=False,
+        )
+        np.testing.assert_allclose(v, v_ref, atol=1e-6)  # same primal math
+        np.testing.assert_allclose(div, div_ref, rtol=2e-2, atol=2e-2)
+
+    def test_get_log_prob_dispatch(self):
+        # End-to-end: the structured-tangent solve equals the linearize solve.
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        key = jax.random.PRNGKey(3)
+        base = SolveConfig(use_fixed_step_size=True, step_size=0.2)
+        on = get_log_prob(cnf, params, x, key, feats, cfg=base)[0]
+        off = get_log_prob(
+            cnf, params, x, key, feats,
+            cfg=SolveConfig(
+                use_fixed_step_size=True, step_size=0.2, structured_tangent=False
+            ),
+        )[0]
+        assert cnf.tangent_value_and_div is not None
+        np.testing.assert_allclose(on, off, rtol=1e-5, atol=1e-5)
