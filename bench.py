@@ -28,7 +28,9 @@ import jax.numpy as jnp
 # 16 samples), in samples/s.
 DEFAULT_CPU_BASELINE = float(os.environ.get("ECNF_BENCH_BASELINE", "0.25"))
 
-BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "256"))
+# Batch 64 is the sweep optimum with the structured tangent (docs/PERF.md:
+# throughput flat 64-384, max at 64 with 4x lower latency than 256).
+BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "64"))
 REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
 # The EGNN MLP stack runs in bf16 by default (the TPU-production setting:
 # geometry, aggregation and the ODE state stay f32, equivariance is exact,
