@@ -82,6 +82,43 @@ class TestStructuredTangent:
         np.testing.assert_allclose(v, v_ref, atol=1e-6)  # same primal math
         np.testing.assert_allclose(div, div_ref, rtol=2e-2, atol=2e-2)
 
+    def test_divergence_rotation_invariant(self):
+        # For an E(n)-equivariant field, J(Rx) = R J(x) R^T, so the exact
+        # divergence is rotation-invariant — a physics-grounded check of the
+        # whole tangent stack (seeds, geometry tangent, epilogue).
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        from ecnf_tpu.utils.test_utils import random_rotation_matrix
+
+        R = random_rotation_matrix(jax.random.PRNGKey(7), 3)
+        basis, off = cnf.exact_trace_plan(params)
+
+        def div_of(xb):
+            return egnn_value_and_trace(
+                params, xb, t, feats, basis,
+                n_nodes=5, dim=3, n_blocks=2, mlp_units=(32, 32),
+                time_embedding_dim=8, trace_offset=off, use_kernel=False,
+            )[1]
+
+        x_rot = (x.reshape(-1, 5, 3) @ R.T).reshape(x.shape)
+        np.testing.assert_allclose(div_of(x_rot), div_of(x), rtol=1e-4)
+
+    def test_divergence_permutation_invariant(self):
+        # Permuting identical nodes permutes J's rows/cols: trace unchanged.
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        feats = jnp.zeros_like(feats)  # identical nodes
+        basis, off = cnf.exact_trace_plan(params)
+
+        def div_of(xb):
+            return egnn_value_and_trace(
+                params, xb, t, feats, basis,
+                n_nodes=5, dim=3, n_blocks=2, mlp_units=(32, 32),
+                time_embedding_dim=8, trace_offset=off, use_kernel=False,
+            )[1]
+
+        perm = jnp.array([2, 0, 4, 1, 3])
+        x_perm = x.reshape(-1, 5, 3)[:, perm].reshape(x.shape)
+        np.testing.assert_allclose(div_of(x_perm), div_of(x), rtol=1e-4)
+
     def test_get_log_prob_dispatch(self):
         # End-to-end: the structured-tangent solve equals the linearize solve.
         cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
