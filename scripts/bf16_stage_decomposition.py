@@ -62,7 +62,7 @@ def scan_stages(stage):
     return jax.jit(lambda x: jax.lax.scan(step, x, None, length=S)[0])
 
 
-def study(compute_dtype):
+def study(compute_dtype, tangent=False):
     cnf = build_cnf(
         n_frames=N, dim=DIM, sigma_min=0.01, base_scale=1.0,
         n_blocks_egnn=3, mlp_units=(128, 128, 128),
@@ -80,11 +80,21 @@ def study(compute_dtype):
     for k in (0, 1, 2, 4, 8, 16, 36):
         if k == 0:
             stage = lambda xb: (f(xb), jnp.zeros(xb.shape[0], xb.dtype))
+        elif tangent:
+            from ecnf_tpu.ops.pallas.tangent_kernel import egnn_value_and_trace
+
+            basis = full_basis[:k]
+            stage = lambda xb, b=basis: egnn_value_and_trace(
+                params, xb, t, feats, b, n_nodes=N, dim=DIM, n_blocks=3,
+                mlp_units=(128,) * 3, time_embedding_dim=8,
+                compute_dtype=compute_dtype, use_kernel=False,
+            )
         else:
             basis = full_basis[:k]
             stage = lambda xb, b=basis: value_and_exact_divergence(f, xb, basis=b)
         dt = timeit(scan_stages(stage), x) / S
-        print(f"[{compute_dtype}] K={k:2d}: {dt*1e3:7.2f} ms/stage")
+        label = "tangent" if tangent else "linearize"
+        print(f"[{compute_dtype} {label}] K={k:2d}: {dt*1e3:7.2f} ms/stage")
         ks.append(float(k))
         times.append(dt)
 
@@ -93,8 +103,9 @@ def study(compute_dtype):
     ks_f, ts_f = np.array(ks[1:]), np.array(times[1:])
     slope, intercept = np.polyfit(ks_f, ts_f, 1)
     resid = ts_f - (intercept + slope * ks_f)
+    label = "tangent" if tangent else "linearize"
     print(
-        f"[{compute_dtype}] fit (K>=1): intercept {intercept*1e3:.2f} ms, "
+        f"[{compute_dtype} {label}] fit (K>=1): intercept {intercept*1e3:.2f} ms, "
         f"slope {slope*1e3:.3f} ms/col, max resid {np.abs(resid).max()*1e3:.2f} ms; "
         f"forward-only {times[0]*1e3:.2f} ms"
     )
@@ -102,19 +113,27 @@ def study(compute_dtype):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--tangent", action="store_true",
+                   help="decompose the structured hand-tangent path instead")
+    p.add_argument("--dtypes", nargs="*", default=["float32", "bfloat16"])
+    args = p.parse_args()
     res = {}
-    for dtype in ("float32", "bfloat16"):
-        res[dtype] = study(dtype)
-    i32, s32 = res["float32"]
-    i16, s16 = res["bfloat16"]
-    print(
-        f"\nbf16/f32 slope ratio {s16/s32:.2f} (FLOP-bound would be ~0.5); "
-        f"bf16/f32 intercept ratio {i16/i32:.2f}"
-    )
-    print(
-        f"at K=36: intercept share f32 {i32/(i32+36*s32)*100:.0f}%, "
-        f"bf16 {i16/(i16+36*s16)*100:.0f}%"
-    )
+    for dtype in args.dtypes:
+        res[dtype] = study(dtype, tangent=args.tangent)
+    if "float32" in res and "bfloat16" in res:
+        i32, s32 = res["float32"]
+        i16, s16 = res["bfloat16"]
+        print(
+            f"\nbf16/f32 slope ratio {s16/s32:.2f} (FLOP-bound would be ~0.5); "
+            f"bf16/f32 intercept ratio {i16/i32:.2f}"
+        )
+        print(
+            f"at K=36: intercept share f32 {i32/(i32+36*s32)*100:.0f}%, "
+            f"bf16 {i16/(i16+36*s16)*100:.0f}%"
+        )
 
 
 if __name__ == "__main__":
