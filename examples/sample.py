@@ -1,0 +1,145 @@
+"""Generate configurations from a trained CNF: batched sampling serving.
+
+Completes the serving pair with `score.py` (no reference analogue — the
+reference only samples inside its plotter/eval closures,
+`ecnf/setup_training.py:40-65,166-185`): load a checkpoint, draw samples by
+integrating the flow, optionally attach exact/Hutchinson log-densities, and
+write an ``[n, n_nodes, dim]`` ``.npy`` — batched and sharded over every
+visible device.
+
+Usage:
+    python sample.py --config configs/lj13.yaml \
+        --checkpoint-dir runs/lj13/model_checkpoints \
+        --n-samples 4096 --output samples.npy \
+        [--with-log-prob [--approx]] [key=value ...]
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from common import CONFIG_DIR
+from ecnf_tpu.cnf.build import build_cnf
+from ecnf_tpu.cnf.sampling import SolveConfig, sample_cnf, sample_and_log_prob_cnf
+from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
+from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
+from ecnf_tpu.training.config import load_config
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=str(CONFIG_DIR / "lj13.yaml"))
+    parser.add_argument("--checkpoint-dir", type=str, required=True)
+    parser.add_argument("--n-nodes", type=int, required=True)
+    parser.add_argument("--dim", type=int, default=3)
+    parser.add_argument("--n-samples", type=int, default=1024)
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--output", type=str, default=None, help="write samples here")
+    parser.add_argument("--log-prob-output", type=str, default=None)
+    parser.add_argument("--with-log-prob", action="store_true",
+                        help="also compute log q(x) along the forward solve")
+    parser.add_argument("--approx", action="store_true", help="Hutchinson estimate")
+    parser.add_argument("--features", choices=["zeros", "arange"], default="zeros",
+                        help="node features: zeros (DW4/LJ13/QM9) or per-atom index (ALDP)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*", help="dotted config overrides")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config, overrides=args.overrides)
+    n_nodes, dim = args.n_nodes, args.dim
+
+    if args.features == "arange":
+        feats_row = jnp.arange(n_nodes, dtype=jnp.int32)
+        n_features = n_nodes
+    else:
+        feats_row = jnp.zeros((n_nodes,), dtype=jnp.int32)
+        n_features = 1
+
+    net_cfg = cfg.flow.network
+    cnf = build_cnf(
+        n_frames=n_nodes,
+        dim=dim,
+        sigma_min=cfg.flow.sigma_min,
+        base_scale=cfg.flow.base_scale,
+        n_blocks_egnn=net_cfg.n_blocks_egnn,
+        mlp_units=tuple(net_cfg.mlp_units),
+        n_invariant_feat_hidden=net_cfg.n_invariant_feat_hidden,
+        time_embedding_dim=net_cfg.time_embedding_dim,
+        n_features=n_features,
+        stable_mlp=net_cfg.stable_mlp,
+        compute_dtype=net_cfg.compute_dtype,
+    )
+    x0 = jnp.zeros((2, n_nodes * dim))
+    params = cnf.init(
+        jax.random.PRNGKey(0), x0, jnp.zeros(2), jnp.tile(feats_row, (2, 1))
+    )
+    latest = get_latest_checkpoint(args.checkpoint_dir)
+    if latest is None:
+        raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+    print(f"restoring {latest}")
+    params = restore_checkpoint(latest, {"params": params}, partial=True)["params"]
+
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    B = pad_to_multiple(min(args.batch_size, args.n_samples), n_dev)
+    solve_cfg = SolveConfig(use_fixed_step_size=cfg.training.use_fixed_step_size)
+    fb = jnp.tile(feats_row, (B, 1))
+
+    if args.with_log_prob:
+        fn = jax.jit(
+            lambda key: sample_and_log_prob_cnf(
+                cnf, params, key, B, features=fb, approx=args.approx, cfg=solve_cfg
+            ),
+            in_shardings=(replicated(mesh),),
+            out_shardings=(data_sharded(mesh), data_sharded(mesh)),
+        )
+    else:
+        fn = jax.jit(
+            lambda key: sample_cnf(cnf, params, key, B, features=fb, cfg=solve_cfg),
+            in_shardings=(replicated(mesh),),
+            out_shardings=data_sharded(mesh),
+        )
+
+    key = jax.random.PRNGKey(args.seed)
+    n = args.n_samples
+    samples = np.empty((n, n_nodes * dim), np.float32)
+    log_q = np.empty((n,), np.float32) if args.with_log_prob else None
+    t0 = time.perf_counter()
+    for start in range(0, n, B):
+        key, sub = jax.random.split(key)
+        out = jax.block_until_ready(fn(sub))
+        take = min(B, n - start)
+        if args.with_log_prob:
+            samples[start : start + take] = np.asarray(out[0])[:take]
+            log_q[start : start + take] = np.asarray(out[1])[:take]
+        else:
+            samples[start : start + take] = np.asarray(out)[:take]
+    dt = time.perf_counter() - t0
+
+    extra = ""
+    if log_q is not None:
+        extra = (
+            f", mean log q {log_q.mean():.4f} "
+            f"({'Hutchinson' if args.approx else 'exact'} trace)"
+        )
+    print(
+        f"sampled {n} configurations in {dt:.2f}s ({n / dt:.1f}/s, "
+        f"{n_dev} device(s)){extra}"
+    )
+    if args.output:
+        np.save(args.output, samples.reshape(n, n_nodes, dim))
+        print(f"wrote {args.output}")
+    if log_q is not None and args.log_prob_output:
+        np.save(args.log_prob_output, log_q)
+        print(f"wrote {args.log_prob_output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,31 @@ def test_score_cli_subprocess(tmp_path):
     assert lp.shape == (6,) and np.isfinite(lp).all()
     assert "mean log-prob" in result.stdout
 
+    # The serving pair's other half: draw samples (+ exact log q) from the
+    # same checkpoint through `examples/sample.py` in a fresh process.
+    result = subprocess.run(
+        [
+            sys.executable, "sample.py",
+            "--config", "configs/dw4.yaml",
+            "--checkpoint-dir", str(ckpt_dir),
+            "--n-nodes", "4", "--dim", "2",
+            "--n-samples", "6", "--batch-size", "4",
+            "--with-log-prob",
+            "--output", str(tmp_path / "samples.npy"),
+            "--log-prob-output", str(tmp_path / "logq.npy"),
+            *overrides,
+        ],
+        cwd=str(REPO / "examples"),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    s = np.load(tmp_path / "samples.npy")
+    lq = np.load(tmp_path / "logq.npy")
+    assert s.shape == (6, 4, 2) and np.isfinite(s).all()
+    assert lq.shape == (6,) and np.isfinite(lq).all()
+    # Flow samples live on the zero-CoM hyperplane (base + equivariant field).
+    np.testing.assert_allclose(s.mean(axis=1), 0.0, atol=1e-4)
+
 
 @pytest.mark.slow
 def test_dw4_cli_subprocess(tmp_path):
