@@ -1,32 +1,33 @@
-"""Hand-linearized EGNN trace: per-block edge-tangent chains as a Pallas kernel.
+"""Hand-linearized EGNN trace: one residual-capturing primal, K explicit
+tangent columns.
 
-Why this exists (measured, `docs/PERF.md` "bf16 stage decomposition"): the
-exact-trace stage is column-dominated and each `jax.linearize` tangent column
-is HBM-bandwidth-bound — every edge-level tangent tensor (``[B, N^2, U]``)
-round-trips HBM between layers, and the primal residual factors are re-read
-per column.  This module replaces `jax.linearize` on the EGNN field
-(reference math `ecnf/nets/egnn.py:49-190`) with a hand-derived
-linearization, structured so that:
+This module replaces `jax.linearize` on the EGNN field (reference math
+`ecnf/nets/egnn.py:49-190`) for exact-trace ODE solves:
 
 - the primal runs ONCE per ODE stage, storing exactly the residuals the
   tangent needs (silu'(z) scale factors, ``m_ij``, gate) — shared by all K
   trace columns;
-- the per-column *edge-level* tangent chain (phi_e tail -> phi_x -> gate ->
-  gated feature aggregation) runs in one Pallas kernel per block with every
-  tangent intermediate resident in VMEM.  The kernel grid is
-  ``(batch_tiles, K)`` with K minor, so the residual/weight blocks (indexed
-  by batch tile only) stay resident across all K columns — per column the
-  kernel touches only ``[B, N, U]`` node tensors and ``[B, N, N]`` scalars
-  in HBM, never a ``[B, N^2, U]`` tangent tensor;
-- the node-level and geometry tangent algebra (cheap, ``[K, B, N, ...]``)
-  stays in plain XLA.
+- each column's tangent is propagated by explicit algebra (geometry and
+  node-level parts vectorized over ``[K, B, ...]``; edge-level chains in
+  `_edge_tangent_math`).
 
-The same tangent math is also available as a pure-XLA path
-(``use_kernel=False``) — used for CPU tests and as an A/B baseline.
+**The shipped form is the pure-XLA path** (``use_kernel=False``, the
+`SolveConfig(structured_tangent=True)` default): measured 1.42x (f32) /
+1.25x (bf16) per stage over `jax.linearize` — the win is linearize's
+K-independent bookkeeping (symbolic-zero propagation, re-derived silu jvp
+chains, cast boundaries), not HBM traffic, which is unchanged and now sits
+at ~83% of the tangent-tensor bandwidth floor (docs/PERF.md).
 
-Scope: the plain constant-width-MLP EGNN (every shipped config;
-``stable_mlp`` falls back to `jax.linearize`).  Forward + trace only — this
-path is for ODE log-prob solves, which are never differentiated.
+``use_kernel=True`` additionally runs the per-block edge chains in a
+Pallas kernel (grid ``(batch_tiles, K)`` with K minor so the residual /
+weight blocks stay VMEM-resident across columns).  It is numerically exact
+but **measured 4-5x slower** than the XLA form at the headline config
+(Mosaic's compute lowering on ``[Bt*N^2, U]`` tiles; DMA exonerated) —
+kept as tested groundwork, see docs/PERF.md for the full verdict.
+
+Scope: the plain-MLP EGNN (every shipped config; ``stable_mlp`` falls back
+to `jax.linearize`).  Forward + trace only — this path serves ODE log-prob
+solves, which are never differentiated.
 """
 import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
