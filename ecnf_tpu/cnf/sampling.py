@@ -150,11 +150,12 @@ def _augmented_field(
     if not approx and cfg.use_exact_trace_plan and cnf.exact_trace_plan is not None:
         basis, offset = cnf.exact_trace_plan(params)
 
-    # Hand-linearized trace (same math as jax.linearize, one residual-
+    # Hand-linearized tangent (same math as jax.linearize, one residual-
     # capturing primal shared by all columns; `ops/pallas/tangent_kernel.py`).
+    # Serves both the exact trace (batch-shared basis columns) and the
+    # Hutchinson estimate (per-sample probe directions).
     if (
-        not approx
-        and cfg.structured_tangent
+        cfg.structured_tangent
         and cnf.tangent_value_and_div is not None
         and trace_mesh is None
         and cfg.trace_column_chunk is None
@@ -162,16 +163,21 @@ def _augmented_field(
 
         def func(t, y):
             x = y[:, :-1]
-            b = basis
-            if b is None:
-                b = jnp.eye(x.shape[-1], dtype=x.dtype)
+            if approx:
+                b = eps if eps.ndim == 3 else eps[None]  # [K, B, D]
+            else:
+                b = basis
+                if b is None:
+                    b = jnp.eye(x.shape[-1], dtype=x.dtype)
             v, div = cnf.tangent_value_and_div(
                 params, x, jnp.broadcast_to(t, (x.shape[0],)), features,
-                b, trace_offset=offset,
+                b, trace_offset=None if approx else offset,
                 use_kernel=cfg.structured_tangent_kernel,
                 batch_tile=cfg.structured_tangent_batch_tile,
                 interpret=cfg.structured_tangent_interpret,
             )
+            if approx and eps.ndim == 3:
+                div = div / eps.shape[0]  # mean over the K probes
             return jnp.concatenate([v, div[:, None]], axis=-1)
 
         return func

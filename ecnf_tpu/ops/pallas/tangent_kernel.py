@@ -518,10 +518,21 @@ def egnn_value_and_trace(
 
     Drop-in for the exact-divergence branch of the augmented ODE field
     (`cnf/sampling.py`): returns ``(f(x) [B, D],
-    sum_k u_k^T J u_k (+ trace_offset) [B])`` for orthonormal ``basis
-    [K, D]`` rows.  Same math as `jax.linearize` over the flax EGNN
-    (reference semantics `ecnf/cnf/sample_and_log_prob.py:64-66`), restructured
-    for TPU as documented at module top.
+    sum_k u_k^T J u_k (+ trace_offset) [B])``.  Two basis forms:
+
+    - ``[K, D]``: batch-shared rows (the exact-trace path; orthonormal
+      zero-CoM basis or identity columns).
+    - ``[K, B, D]``: per-sample directions — Hutchinson probes
+      (reference semantics `ecnf/cnf/sample_and_log_prob.py:75-77`,
+      ``div ~= eps . (J eps)``); the caller averages over K.
+
+    Both are exact for *arbitrary* (not necessarily zero-CoM) directions:
+    the seed is the zero-CoM projection and the translation component is
+    reconstructed analytically in the epilogue (the EGNN is translation-
+    structured, `cnf/build.py: exact_trace_plan`).  Same math as
+    `jax.linearize` over the flax EGNN (reference
+    `ecnf/cnf/sample_and_log_prob.py:64-66`), restructured for TPU as
+    documented at module top.
     """
     from ecnf_tpu.ops.numerics import timestep_embedding
 
@@ -529,6 +540,7 @@ def egnn_value_and_trace(
     cd = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
     B = x.shape[0]
     K = basis.shape[0]
+    per_sample = basis.ndim == 3
     pos = jnp.reshape(x, (B, n_nodes, dim))
     feats = jnp.reshape(features, (B, n_nodes)).astype(jnp.int32)
     h0 = jnp.take(p["Embed_0"]["embedding"], feats, axis=0)
@@ -539,12 +551,17 @@ def egnn_value_and_trace(
     )
     value = jnp.reshape(out, (B, n_nodes * dim))
 
-    # Tangent seeds: column k is the same [N, D] direction for every sample.
-    e = jnp.reshape(basis.astype(jnp.float32), (K, n_nodes, dim))
-    e_mean = jnp.mean(e, axis=1, keepdims=True)
-    vec_t = jnp.broadcast_to(
-        (e - e_mean)[:, None, :, :], (K, B, n_nodes, dim)
-    )
+    # Tangent seeds: the zero-CoM projection of each direction (the torso
+    # acts on centred coordinates; translations are handled in the epilogue).
+    if per_sample:
+        e = jnp.reshape(basis.astype(jnp.float32), (K, B, n_nodes, dim))
+        e_mean = jnp.mean(e, axis=2, keepdims=True)
+        vec_t = e - e_mean
+    else:
+        e = jnp.reshape(basis.astype(jnp.float32), (K, n_nodes, dim))
+        e_mean = jnp.mean(e, axis=1, keepdims=True)[:, None, :, :]
+        e = e[:, None, :, :]  # [K, 1, N, D], broadcasts against batch
+        vec_t = jnp.broadcast_to(e - e_mean, (K, B, n_nodes, dim))
     h_t = jnp.zeros((K, B, n_nodes, h0.shape[-1]), jnp.float32)
 
     for res, wt in zip(residuals, weights):
@@ -552,11 +569,10 @@ def egnn_value_and_trace(
             vec_t, h_t, res, wt, cd, 1.0, use_kernel, batch_tile, interpret
         )
 
-    # Epilogue tangent: (vec_T - initial_vec - pos_mean) * final_scaling.
-    out_t = (
-        vec_t - (e - e_mean)[:, None, :, :] - e_mean[:, None, :, :]
-    ) * p["EGNN_0"]["final_scaling"]
-    div = jnp.einsum("kbnd,knd->b", out_t, e)
+    # Epilogue tangent: (vec_T - seed - translation) * final_scaling, i.e.
+    # J e = fs * (V'(Px) Pe - Pe - e_mean); both e shapes broadcast.
+    out_t = (vec_t - (e - e_mean) - e_mean) * p["EGNN_0"]["final_scaling"]
+    div = jnp.einsum("kbnd,kbnd->b", out_t, jnp.broadcast_to(e, out_t.shape))
     if trace_offset is not None:
         div = div + jnp.asarray(trace_offset, div.dtype)
     return value, div

@@ -119,6 +119,46 @@ class TestStructuredTangent:
         x_perm = x.reshape(-1, 5, 3)[:, perm].reshape(x.shape)
         np.testing.assert_allclose(div_of(x_perm), div_of(x), rtol=1e-4)
 
+    @pytest.mark.parametrize("use_kernel", [False, True])
+    def test_per_sample_probes_match_jvp(self, use_kernel):
+        # Hutchinson form: per-sample probe directions [K, B, D] (raw
+        # Gaussian, NOT zero-CoM) must give eps . (J eps) exactly — the
+        # translation component is reconstructed analytically.
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        B, D = x.shape
+        eps = jax.random.normal(jax.random.PRNGKey(9), (3, B, D))
+        f = lambda xb: cnf.apply(params, xb, t, feats)
+        from ecnf_tpu.ops.divergence import value_and_multi_probe_hutchinson
+
+        v_ref, div_ref = value_and_multi_probe_hutchinson(f, x, eps)
+        v, div = egnn_value_and_trace(
+            params, x, t, feats, eps,
+            n_nodes=5, dim=3, n_blocks=2, mlp_units=(32, 32),
+            time_embedding_dim=8, use_kernel=use_kernel, batch_tile=2,
+            interpret=True,
+        )
+        np.testing.assert_allclose(v, v_ref, atol=1e-6)
+        np.testing.assert_allclose(div / 3.0, div_ref, rtol=1e-4, atol=1e-4)
+
+    def test_get_log_prob_approx_dispatch(self):
+        # End-to-end Hutchinson: structured-tangent solve equals the jvp
+        # solve, for single- and multi-probe configs (same probe key).
+        cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
+        key = jax.random.PRNGKey(4)
+        for K in (1, 3):
+            base = SolveConfig(
+                use_fixed_step_size=True, step_size=0.2, hutchinson_probes=K
+            )
+            on = get_log_prob(cnf, params, x, key, feats, approx=True, cfg=base)[0]
+            off = get_log_prob(
+                cnf, params, x, key, feats, approx=True,
+                cfg=SolveConfig(
+                    use_fixed_step_size=True, step_size=0.2,
+                    hutchinson_probes=K, structured_tangent=False,
+                ),
+            )[0]
+            np.testing.assert_allclose(on, off, rtol=1e-5, atol=1e-5)
+
     def test_get_log_prob_dispatch(self):
         # End-to-end: the structured-tangent solve equals the linearize solve.
         cnf, params, x, t, feats = _setup(5, 3, 2, (32, 32))
