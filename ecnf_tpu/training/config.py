@@ -69,6 +69,11 @@ class TrainingConfig:
     # TPU-native additions (no reference analogue):
     precision: str = "float32"  # matmul precision: float32 | bfloat16
     trace_column_chunk: Optional[int] = None
+    # Probes for the Hutchinson log-prob estimate when
+    # eval_exact_log_prob=false (reference is fixed at 1,
+    # `ecnf/cnf/sample_and_log_prob.py:55`); K=4 is ~20x cheaper than
+    # exact with batch-mean NLL error <0.2 nats (docs/PERF.md).
+    hutchinson_probes: int = 1
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
 

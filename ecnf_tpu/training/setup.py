@@ -170,6 +170,7 @@ def setup_training(
     solve_cfg = SolveConfig(
         use_fixed_step_size=tcfg.use_fixed_step_size,
         trace_column_chunk=tcfg.trace_column_chunk,
+        hutchinson_probes=tcfg.hutchinson_probes,
     )
 
     update_fn = make_update_fn(

@@ -136,6 +136,7 @@ class TestExamplesE2E:
                     "training.eval_batch_size=8",
                     "training.use_ema=true",
                     "training.eval_exact_log_prob=false",
+                    "training.hutchinson_probes=4",
                 ),
             ),
         )

@@ -57,6 +57,13 @@ training:
         cfg = load_config(overrides=["flow.network.n_blocks_egnn=7"])
         assert cfg.flow.network.n_blocks_egnn == 7
 
+    def test_hutchinson_probes_override(self):
+        # TPU-native eval knob (reference is fixed at one probe,
+        # `ecnf/cnf/sample_and_log_prob.py:55`).
+        cfg = load_config(overrides=["training.hutchinson_probes=4"])
+        assert cfg.training.hutchinson_probes == 4
+        assert load_config().training.hutchinson_probes == 1
+
     def test_unknown_override_rejected(self):
         with pytest.raises(ValueError, match="unknown config field"):
             load_config(overrides=["training.batch_sizee=128"])
