@@ -23,6 +23,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 # Measured on this machine (see module docstring): our own CPU throughput on
 # the identical program (JAX_PLATFORMS=cpu, batch 16, best of 2: 64.1 s /
 # 16 samples), in samples/s.

@@ -74,6 +74,9 @@ class TrainingConfig:
     # `ecnf/cnf/sample_and_log_prob.py:55`); K=4 is ~20x cheaper than
     # exact with batch-mean NLL error <0.2 nats (docs/PERF.md).
     hutchinson_probes: int = 1
+    # Persistent on-disk XLA compilation cache (utils/compile_cache.py):
+    # restarts of unchanged programs skip the multi-minute TPU compile.
+    compile_cache: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
 

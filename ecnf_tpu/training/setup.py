@@ -111,6 +111,11 @@ def setup_training(
     if tcfg.precision and tcfg.precision != "float32":
         jax.config.update("jax_default_matmul_precision", tcfg.precision)
 
+    if tcfg.compile_cache:
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
+
     if mesh is None:
         mesh = get_mesh()
 

@@ -1,3 +1,4 @@
+from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
 from ecnf_tpu.utils.test_utils import (
     random_rotation_matrix,
     assert_function_is_equivariant,

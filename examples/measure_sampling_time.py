@@ -20,6 +20,9 @@ import jax.numpy as jnp
 from ecnf_tpu.cnf.build import build_cnf
 from ecnf_tpu.cnf.sampling import SolveConfig, sample_cnf
 from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
+from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def main():

@@ -32,6 +32,9 @@ from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob
 from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
 from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
 from ecnf_tpu.training.config import load_config
+from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def main():

@@ -11,6 +11,9 @@ overridden before any backend is touched.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: no persistent compile-cache writes to $HOME (individual
+# compile-cache tests re-enable it against tmp paths).
+os.environ.setdefault("ECNF_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -97,3 +97,73 @@ class TestProfileDir:
         # jax.profiler writes a plugins/profile tree.
         found = list(prof.rglob("*"))
         assert found, "no profiler output written"
+
+
+class TestCompileCache:
+    def _reset(self, prev):
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_enable_sets_config_and_caches_to_disk(self, tmp_path, monkeypatch):
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.delenv("ECNF_COMPILE_CACHE", raising=False)
+            jax.config.update("jax_compilation_cache_dir", None)
+            cache = tmp_path / "xla"
+            got = enable_persistent_compilation_cache(
+                str(cache), min_compile_time_secs=0.0
+            )
+            assert got == str(cache)
+            assert jax.config.jax_compilation_cache_dir == str(cache)
+            # A fresh (per-run-unique) jitted program must land on disk.
+            import uuid
+
+            salt = float(int(uuid.uuid4().int % 97))
+            jax.jit(lambda x: x * salt + 1.0)(jnp.arange(8.0)).block_until_ready()
+            assert list(cache.iterdir()), "no cache entry written"
+        finally:
+            self._reset(prev)
+
+    def test_env_opt_out(self, tmp_path, monkeypatch):
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("ECNF_COMPILE_CACHE", "0")
+            assert enable_persistent_compilation_cache(str(tmp_path)) is None
+            assert jax.config.jax_compilation_cache_dir is None
+        finally:
+            self._reset(prev)
+
+    def test_user_setting_respected(self, tmp_path, monkeypatch):
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.delenv("ECNF_COMPILE_CACHE", raising=False)
+            mine = str(tmp_path / "mine")
+            jax.config.update("jax_compilation_cache_dir", mine)
+            assert enable_persistent_compilation_cache(str(tmp_path / "other")) == mine
+            assert jax.config.jax_compilation_cache_dir == mine
+        finally:
+            self._reset(prev)
+
+    def test_remote_tunnel_platform_defaults_off(self, tmp_path, monkeypatch):
+        # Measured: cache hits deserialize slower than recompiles over the
+        # axon tunnel (docstring of utils/compile_cache.py) — default off
+        # there, but an explicit ECNF_COMPILE_CACHE path forces it on.
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("JAX_PLATFORMS", "axon")
+            monkeypatch.delenv("ECNF_COMPILE_CACHE", raising=False)
+            assert enable_persistent_compilation_cache(str(tmp_path)) is None
+            forced = str(tmp_path / "forced")
+            monkeypatch.setenv("ECNF_COMPILE_CACHE", forced)
+            assert enable_persistent_compilation_cache() == forced
+        finally:
+            self._reset(prev)
