@@ -52,6 +52,11 @@ FUSED = os.environ.get("ECNF_BENCH_FUSED", "") not in ("", "0")
 # Hand-linearized trace (ops/pallas/tangent_kernel.py; default on — measured
 # 1.16x bf16 / 1.42x f32 per stage vs jax.linearize).  Set =0 to disable.
 TANGENT = os.environ.get("ECNF_BENCH_TANGENT", "1") not in ("", "0")
+# Fixed-step method: rk4 (default; 4 instead of 6 field evals/step = 1.47x,
+# and equal log-density accuracy to dopri5 at step 0.05 on a trained model —
+# both are step-size-dominated; scripts/method_accuracy_study.py, docs/PERF.md)
+# or dopri5 (the reference's fixed-step stepper, ECNF_BENCH_METHOD=dopri5).
+METHOD = os.environ.get("ECNF_BENCH_METHOD", "rk4")
 
 
 TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
@@ -129,6 +134,7 @@ def main() -> None:
         trace_column_chunk=TRACE_CHUNK,
         fused_trace=FUSED,
         structured_tangent=TANGENT,
+        method=METHOD,
     )
 
     def run(key):

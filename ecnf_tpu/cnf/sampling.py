@@ -50,6 +50,11 @@ class SolveConfig:
     dtmin: float = 1e-5
     step_size: float = 0.05
     max_steps: int = 4096
+    # Fixed-step method: "dopri5" (reference parity) or "rk4" (TPU-native
+    # option, 4 instead of 6 field evaluations per step = 1.5x cheaper at
+    # the same step size, one order lower accuracy; adaptive solves ignore
+    # this).  Validated on a trained model in docs/PERF.md.
+    method: str = "dopri5"
     trace_column_chunk: Optional[int] = None
     # Use the fused forward+trace Pallas kernel for the exact divergence
     # (requires cnf.fused_value_and_div; see ops/pallas/trace_kernel.py).
@@ -90,6 +95,7 @@ def _solve(func, y0, t0, t1, cfg: SolveConfig) -> Tuple[jax.Array, ODEStats]:
         dtmin=cfg.dtmin,
         step_size=cfg.step_size,
         max_steps=cfg.max_steps,
+        method=cfg.method,
     )
 
 

@@ -239,20 +239,43 @@ def odeint_adaptive(
     return final.y, stats
 
 
-@partial(jax.jit, static_argnames=("func", "t0", "t1", "step_size"))
+def _rk4_step(
+    func: VectorField, t: jax.Array, y: jax.Array, dt: jax.Array
+) -> jax.Array:
+    """One classic 4th-order Runge-Kutta step on the whole batch.
+
+    4 field evaluations per step vs Dopri5's 6 (no embedded error
+    estimate, which a fixed-step solve never uses) — a 1.5x cheaper
+    fixed-step method for the same step size, one order lower accuracy.
+    """
+    dt_ = dt[:, None]
+    k1 = func(t, y)
+    k2 = func(t + 0.5 * dt, y + 0.5 * dt_ * k1)
+    k3 = func(t + 0.5 * dt, y + 0.5 * dt_ * k2)
+    k4 = func(t + dt, y + dt_ * k3)
+    return y + (dt_ / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+@partial(jax.jit, static_argnames=("func", "t0", "t1", "step_size", "method"))
 def odeint_fixed(
     func: VectorField,
     y0: jax.Array,
     t0: float,
     t1: float,
     step_size: float = 0.05,
+    method: str = "dopri5",
 ) -> Tuple[jax.Array, ODEStats]:
-    """Fixed-step Dopri5 over [t0, t1] via `lax.scan`.
+    """Fixed-step integration over [t0, t1] via `lax.scan`.
 
-    Parity with the reference's ``diffeqsolve(..., dt0=step_size)`` fixed-step
-    branch (`ecnf/cnf/sample_and_log_prob.py:32-33,86-87`): the interval is
+    ``method="dopri5"`` (default) has parity with the reference's
+    ``diffeqsolve(..., dt0=step_size)`` fixed-step branch
+    (`ecnf/cnf/sample_and_log_prob.py:32-33,86-87`): the interval is
     covered in ``ceil(span / step_size)`` equal Dopri5 steps.
+    ``method="rk4"`` is a TPU-native option: 4 instead of 6 field
+    evaluations per step (`_rk4_step`).
     """
+    if method not in ("dopri5", "rk4"):
+        raise ValueError(f"unknown fixed-step method {method!r}")
     if t0 == t1:
         return y0, ODEStats(jnp.int32(0), jnp.int32(0))
     span = abs(t1 - t0)
@@ -261,6 +284,15 @@ def odeint_fixed(
     B = y0.shape[0]
     dtype = y0.dtype
     dt = jnp.full((B,), dt_val, dtype=dtype)
+
+    if method == "rk4":
+
+        def rk4_body(y, i):
+            t = jnp.full((B,), t0, dtype=dtype) + i.astype(dtype) * dt_val
+            return _rk4_step(func, t, y, dt), None
+
+        y_final, _ = jax.lax.scan(rk4_body, y0, jnp.arange(n_steps))
+        return y_final, ODEStats(jnp.int32(n_steps), jnp.int32(n_steps))
 
     def scan_body(carry, i):
         y, k1 = carry
@@ -285,10 +317,11 @@ def odeint(
     dtmin: float = 1e-5,
     step_size: float = 0.05,
     max_steps: int = 4096,
+    method: str = "dopri5",
 ) -> Tuple[jax.Array, ODEStats]:
     """Dispatch between fixed and adaptive integration (static choice)."""
     if use_fixed_step_size:
-        return odeint_fixed(func, y0, t0, t1, step_size=step_size)
+        return odeint_fixed(func, y0, t0, t1, step_size=step_size, method=method)
     return odeint_adaptive(
         func, y0, t0, t1, rtol=rtol, atol=atol, dtmin=dtmin, max_steps=max_steps
     )

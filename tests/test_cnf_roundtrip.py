@@ -78,6 +78,21 @@ class TestLinearFlow:
         log_q2, _, _ = get_log_prob(cnf, {}, x1, jax.random.PRNGKey(6))
         np.testing.assert_allclose(log_q, log_q2, rtol=1e-3, atol=1e-3)
 
+    def test_rk4_fixed_step_matches_closed_form(self):
+        # The TPU-native rk4 fixed-step option through the full
+        # sample/log-prob surface (field + divergence in one solve).
+        dim, a = 3, 0.5
+        cnf = _linear_cnf(dim=dim, a=a)
+        rk4 = SolveConfig(use_fixed_step_size=True, step_size=0.05, method="rk4")
+        key = jax.random.PRNGKey(0)
+        x1 = sample_cnf(cnf, {}, key, 16, cfg=rk4)
+        x0 = cnf.sample_base(key, (16,))
+        np.testing.assert_allclose(x1, x0 * np.exp(a), rtol=1e-4)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, dim))
+        log_p, _, _ = get_log_prob(cnf, {}, x, jax.random.PRNGKey(2), cfg=rk4)
+        expected = DiagGaussian(dim=dim, scale=1.0).log_prob(x * np.exp(-a)) - a * dim
+        np.testing.assert_allclose(log_p, expected, rtol=1e-4, atol=1e-4)
+
     def test_fixed_step_matches_adaptive(self):
         cnf = _linear_cnf(dim=2, a=0.4)
         cfg_fixed = SolveConfig(use_fixed_step_size=True, step_size=0.02)

@@ -36,6 +36,52 @@ class TestFixedStep:
         np.testing.assert_allclose(back, y0, rtol=1e-4, atol=1e-5)
 
 
+class TestRK4:
+    def test_exponential_decay(self):
+        y0 = jnp.ones((4, 3)) * jnp.array([1.0, 2.0, -3.0])
+        y1, stats = odeint_fixed(
+            linear_field, y0, 0.0, 1.0, step_size=0.05, method="rk4"
+        )
+        np.testing.assert_allclose(y1, y0 * np.exp(-1.0), rtol=1e-6)
+        assert int(stats.num_steps) == 20
+
+    def test_fourth_order_convergence(self):
+        # Halving the step must cut the error ~16x (order 4) on a
+        # time-dependent field with a known solution.
+        y0 = jnp.full((2, 1), 0.5)
+
+        def field(t, y):
+            return -y + jnp.sin(3.0 * t)[:, None]
+
+        def exact(t):
+            # y' = -y + sin(3t), y(0)=0.5 (integrating factor):
+            c = 0.5 + 0.3
+            return c * np.exp(-t) + (np.sin(3 * t) - 3 * np.cos(3 * t)) / 10.0
+
+        # Steps large enough that the truncation error stays above f32
+        # rounding noise (~1e-8; at h<=0.05 the error already hits it).
+        errs = []
+        for h in (0.5, 0.25, 0.125):
+            y1, _ = odeint_fixed(field, y0, 0.0, 1.0, step_size=h, method="rk4")
+            errs.append(abs(float(y1[0, 0]) - exact(1.0)))
+        assert errs[0] / errs[1] > 12.0
+        assert errs[1] / errs[2] > 12.0
+
+    def test_backwards_roundtrip(self):
+        y0 = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+        fwd, _ = odeint_fixed(
+            stiffish_field, y0, 0.0, 1.0, step_size=0.02, method="rk4"
+        )
+        back, _ = odeint_fixed(
+            stiffish_field, fwd, 1.0, 0.0, step_size=0.02, method="rk4"
+        )
+        np.testing.assert_allclose(back, y0, rtol=1e-4, atol=1e-5)
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError, match="unknown fixed-step method"):
+            odeint_fixed(linear_field, jnp.ones((1, 1)), 0.0, 1.0, method="rk45")
+
+
 class TestAdaptive:
     def test_exponential_decay(self):
         y0 = jnp.ones((4, 3)) * jnp.array([1.0, 2.0, -3.0])
