@@ -235,8 +235,14 @@ def odeint_adaptive(
         )
 
     final = jax.lax.while_loop(cond, body, init)
+    # Samples still mid-trajectory when the step budget ran out (e.g. f32
+    # with tolerances below attainable accuracy: every step rejected down
+    # to dtmin) would otherwise return a silently-wrong truncated state —
+    # NaN them so downstream non-finite masking catches them, like
+    # diverged samples (reference `evaluation.py:15` semantics).
+    y1 = jnp.where(final.done[:, None], final.y, jnp.nan)
     stats = ODEStats(num_steps=jnp.max(final.n_accept), num_attempts=final.n_iter)
-    return final.y, stats
+    return y1, stats
 
 
 def _rk4_step(

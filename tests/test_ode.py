@@ -156,6 +156,21 @@ class TestAdaptive:
         y0 = jnp.ones((2, 2))
         np.testing.assert_allclose(run(y0), y0 * np.exp(-1.0), rtol=1e-4)
 
+    def test_max_steps_exhaustion_yields_nan(self):
+        """A solve truncated by max_steps must NOT return a silently-wrong
+        mid-trajectory state (found with f32 + unattainable tolerances:
+        every step rejected down to dtmin until the budget ran out, and
+        the truncated state looked like a plausible answer)."""
+        y0 = jnp.ones((3, 2))
+        y1, stats = odeint_adaptive(
+            linear_field, y0, 0.0, 1.0, rtol=1e-6, atol=1e-8, max_steps=3
+        )
+        assert int(stats.num_attempts) == 3
+        assert not np.any(np.isfinite(np.asarray(y1)))
+        # With a sufficient budget the same solve is exact and finite.
+        y1_ok, _ = odeint_adaptive(linear_field, y0, 0.0, 1.0, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(y1_ok, y0 * np.exp(-1.0), rtol=1e-5)
+
 
 class TestDivergence:
     def _field(self):
