@@ -77,6 +77,10 @@ class TrainingConfig:
     # Persistent on-disk XLA compilation cache (utils/compile_cache.py):
     # restarts of unchanged programs skip the multi-minute TPU compile.
     compile_cache: bool = True
+    # Fixed-step ODE method when use_fixed_step_size=true: "dopri5"
+    # (reference parity) or "rk4" (1.5x cheaper per step, equal accuracy
+    # at step 0.05 on a trained model — docs/PERF.md).
+    ode_method: str = "dopri5"
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
 

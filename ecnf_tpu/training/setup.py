@@ -176,6 +176,7 @@ def setup_training(
         use_fixed_step_size=tcfg.use_fixed_step_size,
         trace_column_chunk=tcfg.trace_column_chunk,
         hutchinson_probes=tcfg.hutchinson_probes,
+        method=tcfg.ode_method,
     )
 
     update_fn = make_update_fn(

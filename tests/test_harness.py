@@ -64,6 +64,11 @@ training:
         assert cfg.training.hutchinson_probes == 4
         assert load_config().training.hutchinson_probes == 1
 
+    def test_ode_method_override(self):
+        cfg = load_config(overrides=["training.ode_method=rk4"])
+        assert cfg.training.ode_method == "rk4"
+        assert load_config().training.ode_method == "dopri5"
+
     def test_unknown_override_rejected(self):
         with pytest.raises(ValueError, match="unknown config field"):
             load_config(overrides=["training.batch_sizee=128"])
