@@ -32,9 +32,9 @@ enable_persistent_compilation_cache()
 # 16 samples), in samples/s.
 DEFAULT_CPU_BASELINE = float(os.environ.get("ECNF_BENCH_BASELINE", "0.25"))
 
-# Batch 64 is the sweep optimum with the structured tangent (docs/PERF.md:
-# throughput flat 64-384, max at 64 with 4x lower latency than 256).
-BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "64"))
+# Batch 48 is the sweep optimum with rk4 + the structured tangent
+# (docs/PERF.md: 287.6 samples/s at 48 vs 274.5 at 64, 249.8 at 128).
+BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "48"))
 REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
 # The EGNN MLP stack runs in bf16 by default (the TPU-production setting:
 # geometry, aggregation and the ODE state stay f32, equivariance is exact,
