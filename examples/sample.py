@@ -92,7 +92,11 @@ def main():
     mesh = get_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     B = pad_to_multiple(min(args.batch_size, args.n_samples), n_dev)
-    solve_cfg = SolveConfig(use_fixed_step_size=cfg.training.use_fixed_step_size)
+    solve_cfg = SolveConfig(
+        use_fixed_step_size=cfg.training.use_fixed_step_size,
+        method=cfg.training.ode_method,
+        hutchinson_probes=cfg.training.hutchinson_probes,
+    )
     fb = jnp.tile(feats_row, (B, 1))
 
     if args.with_log_prob:

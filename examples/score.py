@@ -99,7 +99,11 @@ def main():
     mesh = get_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     B = pad_to_multiple(min(args.batch_size, x.shape[0]), n_dev)
-    solve_cfg = SolveConfig(use_fixed_step_size=cfg.training.use_fixed_step_size)
+    solve_cfg = SolveConfig(
+        use_fixed_step_size=cfg.training.use_fixed_step_size,
+        method=cfg.training.ode_method,
+        hutchinson_probes=cfg.training.hutchinson_probes,
+    )
 
     score = jax.jit(
         lambda xb, key, fb: get_log_prob(
