@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--approx", action="store_true", help="Hutchinson estimate")
     parser.add_argument("--features", choices=["zeros", "arange"], default="zeros",
                         help="node features: zeros (DW4/LJ13/QM9) or per-atom index (ALDP)")
+    parser.add_argument("--ema", action="store_true",
+                        help="serve the EMA parameters (reference final-eval semantics\n for use_ema configs, `setup_training.py:229-230`)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -94,7 +96,15 @@ def main():
     if latest is None:
         raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
     print(f"restoring {latest}")
-    params = restore_checkpoint(latest, {"params": params}, partial=True)["params"]
+    key_name = "ema_params" if args.ema else "params"
+    try:
+        params = restore_checkpoint(latest, {key_name: params}, partial=True)[key_name]
+    except TypeError as e:
+        if args.ema:
+            raise SystemExit(
+                "checkpoint has no EMA parameters (trained with use_ema=false)"
+            ) from e
+        raise
 
     mesh = get_mesh()
     n_dev = len(mesh.devices.reshape(-1))

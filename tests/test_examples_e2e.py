@@ -254,6 +254,52 @@ def test_score_cli_subprocess(tmp_path):
     assert lp.shape == (6,) and np.isfinite(lp).all()
     assert "mean log-prob" in result.stdout
 
+    # --ema on an EMA-less checkpoint must fail with a clear message ...
+    result = subprocess.run(
+        [
+            sys.executable, "score.py", "--ema",
+            "--config", "configs/dw4.yaml",
+            "--checkpoint-dir", str(ckpt_dir),
+            "--data", str(tmp_path / "pos.npy"),
+            *overrides,
+        ],
+        cwd=str(REPO / "examples"), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode != 0
+    assert "no EMA parameters" in result.stderr
+
+    # ... and serve the EMA weights when the checkpoint has them (the
+    # reference's final-eval semantics, `setup_training.py:229-230`).
+    # Perturb raw params so the two parameter sets give different scores.
+    state_ema = init_training_state(
+        cnf, build_optimizer(1e-4, use_schedule=False), jax.random.PRNGKey(1),
+        x_ex, jnp.asarray(feats_ex), use_ema=True,
+    )
+    state_ema = state_ema._replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, state_ema.params)
+    )
+    ckpt_ema = tmp_path / "ema_checkpoints"
+    save_checkpoint(str(ckpt_ema), 3, state_ema)
+    for flag, out_name in ((["--ema"], "lp_ema.npy"), ([], "lp_raw.npy")):
+        result = subprocess.run(
+            [
+                sys.executable, "score.py", *flag,
+                "--config", "configs/dw4.yaml",
+                "--checkpoint-dir", str(ckpt_ema),
+                "--data", str(tmp_path / "pos.npy"),
+                "--output", str(tmp_path / out_name),
+                *overrides,
+            ],
+            cwd=str(REPO / "examples"), env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-4000:]
+    lp_ema = np.load(tmp_path / "lp_ema.npy")
+    lp_raw = np.load(tmp_path / "lp_raw.npy")
+    assert np.isfinite(lp_ema).all()
+    assert not np.allclose(lp_ema, lp_raw)  # actually used different weights
+
     # The serving pair's other half: draw samples (+ exact log q) from the
     # same checkpoint through `examples/sample.py` in a fresh process.
     result = subprocess.run(
