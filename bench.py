@@ -137,16 +137,27 @@ def main() -> None:
         method=METHOD,
     )
 
-    def run(key):
+    def run(key, feats_):
         return sample_and_log_prob_cnf(
-            cnf, params, key, BATCH, features=feats, approx=False, cfg=cfg
+            cnf, params, key, BATCH, features=feats_, approx=False, cfg=cfg
         )
 
-    run_jit = jax.jit(run)
+    # Shard the batch over all chips (same GSPMD pattern as the training
+    # eval paths): on 1 chip this is a no-op; on a multi-chip host the
+    # solve parallelizes over the data axis instead of idling N-1 chips.
+    from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated
+
+    mesh = get_mesh()
+    feats = jax.device_put(feats, data_sharded(mesh))
+    run_jit = jax.jit(
+        run,
+        in_shardings=(replicated(mesh), data_sharded(mesh)),
+        out_shardings=replicated(mesh),
+    )
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    x1, log_q = run_jit(key)
+    x1, log_q = run_jit(key, feats)
     jax.block_until_ready((x1, log_q))
     compile_and_first = time.perf_counter() - t0
     print(f"compile+first run: {compile_and_first:.2f}s", file=sys.stderr)
@@ -155,7 +166,7 @@ def main() -> None:
     for i in range(REPS):
         key = jax.random.PRNGKey(2 + i)
         t0 = time.perf_counter()
-        out = run_jit(key)
+        out = run_jit(key, feats)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)
