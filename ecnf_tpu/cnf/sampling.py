@@ -32,6 +32,7 @@ from ecnf_tpu.ops.divergence import (
     value_and_exact_divergence,
     value_and_hutchinson_divergence,
     value_and_multi_probe_hutchinson,
+    value_and_hutchpp_divergence,
 )
 
 
@@ -64,6 +65,11 @@ class SolveConfig:
     # Hutchinson probes for approximate log-prob (reference is fixed at 1,
     # `sample_and_log_prob.py:55`; >1 reduces estimator variance by 1/K).
     hutchinson_probes: int = 1
+    # Hutch++ (ops/divergence.py): when > 0, the approximate divergence
+    # sketches the Jacobian's dominant subspace with this many directions
+    # (per sample, per stage) and runs `hutchinson_probes` plain probes on
+    # the residual only.  Cost: 2*sketch + probes JVPs per stage.
+    hutchpp_sketch: int = 0
     # Use the CNF's structural exact-trace shortcut when available
     # (`FlowMatchingCNF.exact_trace_plan`): JVP only the zero-CoM basis
     # columns and add the analytic translation term.  Mathematically exact
@@ -121,8 +127,15 @@ def sample_cnf(
 
 
 def _draw_probes(key, B: int, D: int, cfg: SolveConfig):
-    """One fixed Gaussian probe per sample (reference semantics), or
-    ``[K, B, D]`` probes when ``cfg.hutchinson_probes > 1``."""
+    """One fixed Gaussian probe per sample (reference semantics),
+    ``[K, B, D]`` probes when ``cfg.hutchinson_probes > 1``, or a
+    ``(sketch, probes)`` pair for Hutch++."""
+    if cfg.hutchpp_sketch > 0:
+        k1, k2 = jax.random.split(key)
+        return (
+            jax.random.normal(k1, (cfg.hutchpp_sketch, B, D)),
+            jax.random.normal(k2, (cfg.hutchinson_probes, B, D)),
+        )
     if cfg.hutchinson_probes > 1:
         return jax.random.normal(key, (cfg.hutchinson_probes, B, D))
     return jax.random.normal(key, (B, D))
@@ -165,6 +178,7 @@ def _augmented_field(
         and cnf.tangent_value_and_div is not None
         and trace_mesh is None
         and cfg.trace_column_chunk is None
+        and not (approx and cfg.hutchpp_sketch > 0)  # Hutch++ needs Jv vectors
     ):
 
         def func(t, y):
@@ -195,7 +209,9 @@ def _augmented_field(
             return cnf.apply(params, xb, t, features)
 
         if approx:
-            if eps.ndim == 3:
+            if isinstance(eps, tuple):
+                v, div = value_and_hutchpp_divergence(f_x, x, *eps)
+            elif eps.ndim == 3:
                 v, div = value_and_multi_probe_hutchinson(f_x, x, eps)
             else:
                 v, div = value_and_hutchinson_divergence(f_x, x, eps)

@@ -18,4 +18,5 @@ from ecnf_tpu.ops.divergence import (
     sharded_value_and_exact_divergence,
     value_and_exact_divergence,
     value_and_hutchinson_divergence,
+    value_and_hutchpp_divergence,
 )

@@ -241,3 +241,46 @@ def value_and_multi_probe_hutchinson(
     value, jvp_lin = jax.linearize(f, x)
     ests = jax.vmap(lambda e: jnp.sum(jvp_lin(e) * e, axis=-1))(eps)  # [K, B]
     return value, jnp.mean(ests, axis=0)
+
+
+def value_and_hutchpp_divergence(
+    f: BatchedField, x: jax.Array, sketch: jax.Array, probes: jax.Array
+) -> "tuple[jax.Array, jax.Array]":
+    """Hutch++ trace estimate (Meyer, Musco, Musco & Woodruff 2021),
+    non-symmetric form.
+
+    Per sample: ``Q = qr(J S)`` from sketch directions ``S``; then
+
+        tr(J) = tr(Qᵀ J Q) + E_ε[ gᵀ J g ],   g = (I − QQᵀ) ε
+
+    — exact decomposition (the cross terms ``tr(P J (I−P))`` vanish for
+    any orthogonal projector ``P = QQᵀ``), so the estimator is unbiased
+    for ANY Jacobian; the stochastic part only sees the spectrum outside
+    the sketched subspace, which is where the variance reduction over
+    plain Hutchinson comes from when the spectrum decays.  Beyond-
+    reference capability (the reference is fixed at one plain probe,
+    `ecnf/cnf/sample_and_log_prob.py:55`).
+
+    Cost: ``2·M1 + M2`` Jacobian-vector products on a shared linearize
+    primal, plus a batched thin QR ([B, D, M1], negligible at these D).
+
+    Args:
+        x: ``[B, D]``.
+        sketch: ``[M1, B, D]`` sketch directions (Gaussian).
+        probes: ``[M2, B, D]`` residual probes (Gaussian).
+
+    Returns:
+        ``(f(x) [B, D], divergence estimate [B])``.
+    """
+    value, jvp_lin = jax.linearize(f, x)
+    y = jax.vmap(jvp_lin)(sketch)  # [M1, B, D] = J s_k
+    q, _ = jnp.linalg.qr(jnp.transpose(y, (1, 2, 0)))  # [B, D, M1], thin
+    qk = jnp.transpose(q, (2, 0, 1))  # [M1, B, D]
+    jq = jax.vmap(jvp_lin)(qk)
+    t_sketch = jnp.einsum("kbd,kbd->b", jq, qk)  # tr(Qᵀ J Q)
+    # g_j = eps_j - Q (Qᵀ eps_j), then mean_j gᵀ J g.
+    qte = jnp.einsum("bdk,jbd->jbk", q, probes)
+    g = probes - jnp.einsum("bdk,jbk->jbd", q, qte)
+    jg = jax.vmap(jvp_lin)(g)
+    t_resid = jnp.mean(jnp.einsum("jbd,jbd->jb", jg, g), axis=0)
+    return value, t_sketch + t_resid
