@@ -104,6 +104,7 @@ def bench_train_step() -> None:
 
 
 def main() -> None:
+    global BATCH
     if TASK == "train_step":
         bench_train_step()
         return
@@ -145,9 +146,14 @@ def main() -> None:
     # Shard the batch over all chips (same GSPMD pattern as the training
     # eval paths): on 1 chip this is a no-op; on a multi-chip host the
     # solve parallelizes over the data axis instead of idling N-1 chips.
-    from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated
+    from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
 
     mesh = get_mesh()
+    padded = pad_to_multiple(BATCH, int(mesh.devices.size))
+    if padded != BATCH:
+        print(f"batch {BATCH} -> {padded} (rounded up to the mesh)", file=sys.stderr)
+        BATCH = padded
+        feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
     feats = jax.device_put(feats, data_sharded(mesh))
     run_jit = jax.jit(
         run,

@@ -278,6 +278,10 @@ def value_and_hutchpp_divergence(
     qk = jnp.transpose(q, (2, 0, 1))  # [M1, B, D]
     jq = jax.vmap(jvp_lin)(qk)
     t_sketch = jnp.einsum("kbd,kbd->b", jq, qk)  # tr(Qᵀ J Q)
+    if probes.shape[0] == 0:
+        # Pure-sketch estimate: exact iff the sketch spans the Jacobian's
+        # range (low-rank J); otherwise it drops tr((I-P) J (I-P)).
+        return value, t_sketch
     # g_j = eps_j - Q (Qᵀ eps_j), then mean_j gᵀ J g.
     qte = jnp.einsum("bdk,jbd->jbk", q, probes)
     g = probes - jnp.einsum("bdk,jbk->jbd", q, qte)

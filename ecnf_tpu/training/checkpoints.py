@@ -83,3 +83,25 @@ def restore_checkpoint(path: str, target: Any, partial: bool = False) -> Any:
         return r
 
     return jax.tree_util.tree_map(place, target, restored)
+
+
+def restore_serving_params(path: str, params_template: Any, ema: bool = False) -> Any:
+    """Restore just the parameters (raw or EMA) for serving/scoring.
+
+    ``ema=True`` restores ``ema_params`` — the weights the training loop
+    evaluates with for ``use_ema`` configs (reference
+    `setup_training.py:229-230`).  Raises ``ValueError`` with a clear
+    message when the checkpoint was trained without EMA (the underlying
+    orbax error type for a missing/None entry is not a stable API).
+    """
+    key_name = "ema_params" if ema else "params"
+    try:
+        return restore_checkpoint(path, {key_name: params_template}, partial=True)[
+            key_name
+        ]
+    except (TypeError, KeyError, ValueError) as e:
+        if ema:
+            raise ValueError(
+                "checkpoint has no EMA parameters (trained with use_ema=false)"
+            ) from e
+        raise

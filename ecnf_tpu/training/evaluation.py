@@ -21,8 +21,11 @@ def calculate_forward_ess(log_w: jax.Array, mask: jax.Array) -> dict:
     """Forward effective sample size from log importance weights.
 
     ``log_w = log p(x) - log q(x)`` for ``x ~ p``.  Log-domain computation
-    with non-finite weights masked (reference `evaluation.py:10-22`).
+    with non-finite weights masked (reference `evaluation.py:10-22`) — a
+    diverged or budget-exhausted ODE sample yields a NaN log-density
+    (`ops/ode.py`) and must not poison the aggregate.
     """
+    mask = mask * jnp.isfinite(log_w).astype(mask.dtype)
     log_w = jnp.where(mask, log_w, jnp.zeros_like(log_w))
     log_z_inv = jax.nn.logsumexp(-log_w, b=mask) - jnp.log(jnp.sum(mask))
     log_z_expectation_p_over_q = jax.nn.logsumexp(log_w, b=mask) - jnp.log(
@@ -35,8 +38,11 @@ def calculate_forward_ess(log_w: jax.Array, mask: jax.Array) -> dict:
 def calculate_reverse_ess(log_w: jax.Array) -> jax.Array:
     """Normalized reverse ESS: ``1 / sum(softmax(log_w)^2) / n``.
 
-    Parity: reference `setup_training.py:182`.
+    Parity: reference `setup_training.py:182`, hardened: non-finite
+    log-weights (NaN-frozen diverged samples, `ops/ode.py`) get zero
+    weight instead of poisoning the softmax.
     """
+    log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
     return 1.0 / jnp.sum(jax.nn.softmax(log_w) ** 2) / log_w.shape[0]
 
 

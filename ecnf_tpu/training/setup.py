@@ -304,6 +304,10 @@ def setup_training(
             cfg=solve_cfg,
             return_stats=True,
         )
+        # Diverged / budget-exhausted ODE samples come back NaN
+        # (`ops/ode.py`); exclude them from the means like the reference's
+        # non-finite log-weight masking (`evaluation.py:15`).
+        mask = mask * jnp.isfinite(log_q).astype(mask.dtype)
         info = {
             "test_log_lik": maybe_masked_mean(log_q, mask),
             "test_log_prob_base": maybe_masked_mean(log_prob_base, mask),

@@ -44,6 +44,8 @@ def enable_persistent_compilation_cache(
     import jax
 
     env = os.environ.get("ECNF_COMPILE_CACHE")
+    if env is not None and not env.strip():
+        env = None  # `ECNF_COMPILE_CACHE= cmd` idiom means "unset", not "on"
     if env is not None and env.strip().lower() in ("0", "off", "none", "false"):
         return None
     if jax.config.jax_compilation_cache_dir is not None:

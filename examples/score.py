@@ -30,11 +30,8 @@ from common import CONFIG_DIR
 from ecnf_tpu.cnf.build import build_cnf
 from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob
 from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
-from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
+from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_serving_params
 from ecnf_tpu.training.config import load_config
-from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
-
-enable_persistent_compilation_cache()
 
 
 def main():
@@ -96,19 +93,19 @@ def main():
     if latest is None:
         raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
     print(f"restoring {latest}")
-    key_name = "ema_params" if args.ema else "params"
     try:
-        params = restore_checkpoint(latest, {key_name: params}, partial=True)[key_name]
-    except TypeError as e:
-        if args.ema:
-            raise SystemExit(
-                "checkpoint has no EMA parameters (trained with use_ema=false)"
-            ) from e
-        raise
+        params = restore_serving_params(latest, params, ema=args.ema)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     mesh = get_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     B = pad_to_multiple(min(args.batch_size, x.shape[0]), n_dev)
+    if cfg.training.compile_cache:
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
+
     solve_cfg = SolveConfig(
         use_fixed_step_size=cfg.training.use_fixed_step_size,
         method=cfg.training.ode_method,

@@ -167,3 +167,17 @@ class TestCompileCache:
             assert enable_persistent_compilation_cache() == forced
         finally:
             self._reset(prev)
+
+    def test_empty_env_value_means_unset(self, tmp_path, monkeypatch):
+        # `ECNF_COMPILE_CACHE= cmd` (this repo's empty-env idiom) must not
+        # bypass the remote-tunnel default-off.
+        from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("ECNF_COMPILE_CACHE", "")
+            monkeypatch.setenv("JAX_PLATFORMS", "axon")
+            assert enable_persistent_compilation_cache(str(tmp_path)) is None
+        finally:
+            self._reset(prev)

@@ -277,6 +277,12 @@ class TestDivergence:
             probes = jax.random.normal(k2, (2, 4, D))
             _, div = value_and_hutchpp_divergence(f, x, sketch, probes)
             np.testing.assert_allclose(div, exact, rtol=1e-4, atol=1e-4)
+            # Pure-sketch form (no residual probes): also exact here, and
+            # must not NaN on the empty probe axis.
+            _, div0 = value_and_hutchpp_divergence(
+                f, x, sketch, jnp.zeros((0, 4, D))
+            )
+            np.testing.assert_allclose(div0, exact, rtol=1e-4, atol=1e-4)
 
     def test_hutchpp_unbiased_and_lower_variance(self):
         # Decaying-spectrum Jacobian: at a matched JVP budget Hutch++

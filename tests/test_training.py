@@ -145,6 +145,19 @@ class TestEvaluation:
         ess = float(calculate_forward_ess(log_w, mask)["forward_ess"])
         assert ess < 0.05
 
+    def test_ess_masks_non_finite_weights(self):
+        # NaN-frozen diverged/budget-exhausted ODE samples (`ops/ode.py`)
+        # yield non-finite log-weights; they must be excluded, not poison
+        # the aggregate (reference `evaluation.py:15` semantics).
+        log_w = jnp.array([0.0, 0.0, jnp.nan, -jnp.inf, 0.0])
+        mask = jnp.ones(5, dtype=jnp.int32)
+        ess = float(calculate_forward_ess(log_w, mask)["forward_ess"])
+        np.testing.assert_allclose(ess, 1.0, rtol=1e-5)  # 3 finite, uniform
+        rv = float(calculate_reverse_ess(jnp.array([0.0, jnp.nan, 0.0, 0.0])))
+        assert np.isfinite(rv)
+        # Non-finite entries get zero weight; n stays the full count.
+        np.testing.assert_allclose(rv, (1.0 / (3 * (1 / 3) ** 2)) / 4, rtol=1e-5)
+
     def test_padded_reshape(self):
         data = jnp.arange(10.0)
         reshaped, mask = setup_padded_reshaped_data(data, 4, reshape_axis=1)
