@@ -125,10 +125,17 @@ def main():
     n = args.n_samples
     samples = np.empty((n, n_nodes * dim), np.float32)
     log_q = np.empty((n,), np.float32) if args.with_log_prob else None
-    t0 = time.perf_counter()
+    t_start = time.perf_counter()
+    t0 = first_batch_s = None
     for start in range(0, n, B):
         key, sub = jax.random.split(key)
         out = jax.block_until_ready(fn(sub))
+        if t0 is None:
+            # The first batch includes the jit compile; report it separately
+            # so the steady-state rate is meaningful (reference
+            # `load_checkpoint_measure_sampling_time.py:108-119` semantics).
+            t0 = time.perf_counter()
+            first_batch_s = t0 - t_start
         take = min(B, n - start)
         if args.with_log_prob:
             samples[start : start + take] = np.asarray(out[0])[:take]
@@ -143,9 +150,11 @@ def main():
             f", mean log q {log_q.mean():.4f} "
             f"({'Hutchinson' if args.approx else 'exact'} trace)"
         )
+    n_steady = max(n - B, 0)
+    rate = f", {n_steady / dt:.1f}/s steady-state" if n_steady and dt > 0 else ""
     print(
-        f"sampled {n} configurations in {dt:.2f}s ({n / dt:.1f}/s, "
-        f"{n_dev} device(s)){extra}"
+        f"sampled {n} configurations: first batch {first_batch_s:.1f}s "
+        f"(incl. compile){rate}, {n_dev} device(s){extra}"
     )
     if args.output:
         np.save(args.output, samples.reshape(n, n_nodes, dim))
