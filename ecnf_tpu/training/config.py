@@ -81,6 +81,11 @@ class TrainingConfig:
     # (reference parity) or "rk4" (1.5x cheaper per step, equal accuracy
     # at step 0.05 on a trained model — docs/PERF.md).
     ode_method: str = "dopri5"
+    # Run up to this many epochs per device dispatch (1 = reference
+    # behavior).  Many-short-epoch configs (e.g. QM9: 16k iterations of
+    # ~25-400 steps) are otherwise host-latency-bound; groups never cross
+    # an eval/checkpoint iteration, so schedules/logging are unchanged.
+    epochs_per_dispatch: int = 1
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
 

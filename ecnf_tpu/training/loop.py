@@ -59,6 +59,12 @@ class TrainConfig(NamedTuple):
     use_64_bit: bool = False
     runtime_limit: Optional[float] = None
     profile_dir: Optional[str] = None
+    # TPU-native (no reference analogue): run up to this many epochs in ONE
+    # device dispatch (`update_state_multi(state, k)`), bounded so groups
+    # never cross an eval/checkpoint iteration.  Short-epoch configs are
+    # otherwise dominated by per-dispatch host latency.
+    update_state_multi: Optional[Callable[[TrainingStateT, int], Tuple[TrainingStateT, dict]]] = None
+    epochs_per_dispatch: int = 1
 
 
 def _schedule(n_iteration: int, n_points: int) -> np.ndarray:
@@ -122,58 +128,97 @@ def run_training(config: TrainConfig):
     try:
         from tqdm.auto import tqdm
 
-        iterator = tqdm(range(start_iter, config.n_iteration))
+        pbar = tqdm(total=config.n_iteration, initial=start_iter)
     except ImportError:  # pragma: no cover
-        iterator = range(start_iter, config.n_iteration)
+        pbar = None
 
-    for iteration in iterator:
-        state, info = config.update_state(state)
+    event_iters = np.array(sorted(eval_iter | checkpoint_iter), dtype=np.int64)
 
+    def _write_epoch_info(info: dict, iteration_n: int) -> None:
+        """Per-batch info fan-out (reference `loop.py:124-133`)."""
         leading_info_shape = get_leading_axis_tree(info, 1)
         if len(leading_info_shape) == 0 or leading_info_shape == (1,):
-            info.update(iteration=iteration)
+            info.update(iteration=iteration_n)
             config.logger.write(info)
         else:
             for batch_idx in range(leading_info_shape[0]):
                 batch_info = jax.tree_util.tree_map(lambda x: x[batch_idx], info)
-                batch_info.update(iteration=iteration)
+                batch_info.update(iteration=iteration_n)
                 config.logger.write(batch_info)
 
-        if profiling and iteration >= start_iter + 2:
+    iteration = start_iter
+    while iteration < config.n_iteration:
+        # Group up to epochs_per_dispatch epochs into one device dispatch,
+        # ending exactly on the next eval/checkpoint iteration so the
+        # observable schedule (and its RNG key sequence) is unchanged.
+        k = 1
+        if (
+            config.update_state_multi is not None
+            and config.epochs_per_dispatch > 1
+            and not profiling
+        ):
+            nxt = event_iters[event_iters >= iteration]
+            next_event = int(nxt[0]) if nxt.size else config.n_iteration - 1
+            k = max(
+                1,
+                min(
+                    config.epochs_per_dispatch,
+                    next_event - iteration + 1,
+                    config.n_iteration - iteration,
+                ),
+            )
+
+        if k > 1:
+            state, infos = config.update_state_multi(state, k)
+            for j in range(k):
+                _write_epoch_info(
+                    jax.tree_util.tree_map(lambda x: x[j], infos), iteration + j
+                )
+        else:
+            state, info = config.update_state(state)
+            _write_epoch_info(info, iteration)
+
+        iteration_end = iteration + k - 1
+        iteration += k
+        if pbar is not None:
+            pbar.update(k)
+        if profiling and iteration_end >= start_iter + 2:
             jax.profiler.stop_trace()
             profiling = False
 
-        if config.eval_and_plot_fn is not None and iteration in eval_iter:
+        if config.eval_and_plot_fn is not None and iteration_end in eval_iter:
             key, subkey = jax.random.split(key)
             eval_info = config.eval_and_plot_fn(
-                state, subkey, iteration, config.save, plots_dir
+                state, subkey, iteration_end, config.save, plots_dir
             )
-            eval_info.update(iteration=iteration)
+            eval_info.update(iteration=iteration_end)
             print(str(eval_info))
             config.logger.write(eval_info)
 
-        if iteration in checkpoint_iter and config.save:
-            save_checkpoint(checkpoints_dir, iteration, jax.device_get(state))
+        if iteration_end in checkpoint_iter and config.save:
+            save_checkpoint(checkpoints_dir, iteration_end, jax.device_get(state))
 
             # Runtime-limit early stop: extrapolate time to next checkpoint
             # (reference `loop.py:155-170`).
             if (
                 config.runtime_limit
-                and iteration > start_iter
-                and np.any(checkpoint_iter_np > iteration)
+                and iteration_end > start_iter
+                and np.any(checkpoint_iter_np > iteration_end)
             ):
                 next_checkpoint_iter = np.min(
-                    checkpoint_iter_np[checkpoint_iter_np > iteration]
+                    checkpoint_iter_np[checkpoint_iter_np > iteration_end]
                 )
                 time_diff = (time.time() - start_time) / 3600
                 if (
                     time_diff
                     * (next_checkpoint_iter - start_iter)
-                    / max(iteration - start_iter, 1)
+                    / max(iteration_end - start_iter, 1)
                     > config.runtime_limit
                 ):
                     break
 
+    if pbar is not None:
+        pbar.close()
     if profiling:
         jax.profiler.stop_trace()
 

@@ -231,6 +231,32 @@ def setup_training(
         state, infos = epoch_jit(state, train_pos_dev, train_feat_dev)
         return state, jax.device_get(infos)
 
+    # Multi-epoch dispatch (`training.epochs_per_dispatch`): scan k epochs in
+    # ONE device program.  Short-epoch configs are otherwise dominated by
+    # per-dispatch host latency (thousands of ~ms round-trips); the loop caps
+    # k so groups never cross an eval/checkpoint iteration, which bounds the
+    # number of distinct-k compiles to a handful.
+    _epochs_jit_cache = {}
+
+    def run_epochs(state: TrainingState, k: int):
+        fn = _epochs_jit_cache.get(k)
+        if fn is None:
+
+            def _k_epochs(st, pos, feats):
+                return jax.lax.scan(
+                    lambda s, _: _epoch(s, pos, feats), st, None, length=k
+                )
+
+            fn = jax.jit(
+                _k_epochs,
+                in_shardings=(rep, data_shard, data_shard),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+            _epochs_jit_cache[k] = fn
+        state, infos = fn(state, train_pos_dev, train_feat_dev)
+        return state, jax.device_get(infos)  # infos: [k, n_batches, ...]
+
     # --- Evaluation --------------------------------------------------------
 
     # Explicit shardings need the batch divisible by the mesh; round the
@@ -388,4 +414,6 @@ def setup_training(
         use_64_bit=tcfg.use_64_bit,
         runtime_limit=tcfg.runtime_limit,
         profile_dir=tcfg.profile_dir,
+        update_state_multi=run_epochs,
+        epochs_per_dispatch=tcfg.epochs_per_dispatch,
     )

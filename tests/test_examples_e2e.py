@@ -64,6 +64,37 @@ class TestExamplesE2E:
         assert (tmp_path / "model_checkpoints").exists()
         assert any((tmp_path / "plots").iterdir())
 
+    def test_epochs_per_dispatch_equivalence(self, tmp_path):
+        """Grouping epochs into one device dispatch must not change the
+        training trajectory: same RNG flows through the scanned state, so
+        losses and logged iterations are identical to the per-epoch loop."""
+
+        def load_dataset(train_size, test_size):
+            train, valid, test = load_dw4(train_size)
+            return train, test[:test_size]
+
+        hists = {}
+        for k in (1, 3):
+            cfg = load_config(
+                str(REPO / "examples/configs/dw4.yaml"),
+                overrides=_tiny_overrides(
+                    tmp_path / f"d{k}",
+                    extra=(
+                        "training.n_training_iter=7",
+                        f"training.epochs_per_dispatch={k}",
+                        "training.n_eval=1",
+                        "training.n_checkpoints=1",
+                    ),
+                ),
+            )
+            tc = setup_training(
+                cfg, load_dataset, target_log_prob_fn=double_well_log_prob
+            )
+            logger, _ = run_training(tc)
+            hists[k] = logger.history
+        np.testing.assert_allclose(hists[3]["loss"], hists[1]["loss"], rtol=1e-6)
+        assert hists[3]["iteration"] == hists[1]["iteration"]
+
     def test_lj13_end_to_end(self, tmp_path):
         """LJ13 path: 13-node EGNN, LJ energies, reverse-ESS model samples.
 

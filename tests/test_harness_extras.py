@@ -181,3 +181,42 @@ class TestCompileCache:
             assert enable_persistent_compilation_cache(str(tmp_path)) is None
         finally:
             self._reset(prev)
+
+
+class TestEpochsPerDispatch:
+    def test_grouped_loop_schedule_parity(self, tmp_path):
+        # The grouped loop must run every iteration exactly once, keep the
+        # eval/checkpoint schedule, and fan per-epoch infos out in order.
+        def init_state(key):
+            return {"w": jnp.zeros(1)}
+
+        def update_state(state):
+            return {"w": state["w"] + 1}, {"loss": float(state["w"][0])}
+
+        def update_state_multi(state, k):
+            w0 = float(state["w"][0])
+            infos = {"loss": np.arange(w0, w0 + k, dtype=np.float32)}
+            return {"w": state["w"] + k}, infos
+
+        evals = []
+        cfg = _mk_config(
+            tmp_path,
+            n_iteration=10,
+            n_checkpoints=2,
+            update_state=update_state,
+            update_state_multi=update_state_multi,
+            epochs_per_dispatch=4,
+            n_eval=2,
+            eval_and_plot_fn=lambda state, key, it, save, pdir: evals.append(it) or {},
+        )
+        logger, state = run_training(cfg)
+        assert float(state["w"][0]) == 10.0
+        # history interleaves eval rows (iteration -1, 4, 9) with the 10
+        # training rows; the training losses must be 0..9 in order.
+        assert sorted(logger.history["iteration"]) == sorted(
+            list(range(10)) + [-1, 4, 9]
+        )
+        np.testing.assert_allclose(logger.history["loss"], np.arange(10.0))
+        # evals fire exactly at the scheduled iterations (linspace incl. last)
+        assert evals == [-1, 4, 9]
+        assert (tmp_path / "model_checkpoints" / "state_00000009").exists()
