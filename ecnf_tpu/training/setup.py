@@ -121,6 +121,31 @@ def setup_training(
 
     logger = setup_logger(cfg.logger, save_dir=tcfg.save_dir or ".", save=tcfg.save)
     save_path = tcfg.save_dir or "."
+
+    # Re-root outputs under the live wandb run directory so checkpoints and
+    # plots ride along with the run's files (reference
+    # `setup_training.py:80-82`).  Loud failure beats a silent no-op when
+    # there is no wandb run to root under.
+    if tcfg.save_in_wandb_dir:
+        from ecnf_tpu.training.loggers import WandbLogger
+
+        run = getattr(logger, "run", None)
+        if (
+            isinstance(logger, WandbLogger)
+            and getattr(logger, "_wandb", None) is not None
+            and run is not None
+        ):
+            # Always nest under the run dir — unlike a bare os.path.join
+            # (the reference's idiom), which silently discards the run dir
+            # when save_dir is absolute.
+            save_path = os.path.join(str(run.dir), save_path.lstrip(os.sep))
+        else:
+            raise ValueError(
+                "training.save_in_wandb_dir=true requires the wandb logger "
+                "with a live run (logger: {wandb: {...}} and the wandb "
+                "package installed); got "
+                f"{type(logger).__name__}."
+            )
     pathlib.Path(save_path).mkdir(exist_ok=True, parents=True)
 
     train_data_, test_data_ = load_dataset(tcfg.train_set_size, tcfg.test_set_size)
@@ -353,7 +378,12 @@ def setup_training(
     def eval_on_data_batch_fn(data, key, mask, state):
         return _eval_data_batch(data, key, mask, state)
 
-    if plotter is None:
+    # `training.eval_plots: false` skips plotting entirely — the default
+    # plotter costs a full ODE sampling solve per eval even when the figures
+    # are discarded (save=False); pure-throughput runs want neither.
+    if not tcfg.eval_plots:
+        plotter = None
+    elif plotter is None:
         plotter = setup_default_plotter(
             cnf=cnf,
             n_nodes=n_nodes,
@@ -389,7 +419,7 @@ def setup_training(
         if target_log_prob_fn is not None and log_w_fwd is not None:
             info.update(calculate_forward_ess(log_w_fwd, mask=flat_mask))
 
-        figs = plotter(state, train_data_, key)
+        figs = plotter(state, train_data_, key) if plotter is not None else []
         for j, figure in enumerate(figs):
             if save and plots_dir is not None:
                 figure.savefig(

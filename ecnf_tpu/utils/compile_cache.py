@@ -50,8 +50,14 @@ def enable_persistent_compilation_cache(
         return None
     if jax.config.jax_compilation_cache_dir is not None:
         return jax.config.jax_compilation_cache_dir  # user already set it
-    platforms = os.environ.get("JAX_PLATFORMS", "")
-    if env is None and any(p in platforms for p in _REMOTE_PLUGIN_PLATFORMS):
+    # The backend can be selected either by env var or by jax.config;
+    # compare against the split platform list (exact names, not substrings).
+    platform_spec = os.environ.get("JAX_PLATFORMS", "")
+    cfg_platforms = getattr(jax.config, "jax_platforms", None)
+    if cfg_platforms:
+        platform_spec = f"{platform_spec},{cfg_platforms}"
+    selected = {p.strip().lower() for p in platform_spec.split(",") if p.strip()}
+    if env is None and selected & set(_REMOTE_PLUGIN_PLATFORMS):
         return None  # cache hits are slower than recompiles over a tunnel
 
     path = os.path.expanduser(cache_dir or env or _DEFAULT_DIR)

@@ -1,6 +1,11 @@
-"""Plotting utilities: metric history and pairwise-distance histograms.
+"""Plotting utilities: metric history panels and pairwise-distance histograms.
 
-Parity with the reference's `ecnf/utils/plotting.py:15-92`.
+Covers the diagnostic-plot roles of the reference (`ecnf/utils/plotting.py`:
+a metric-history panel and distance histograms of samples vs data).  The
+implementations are this framework's own: the history panel plots against
+true iteration indices with non-finite points dropped per-series, and the
+histogramming uses a searchsorted/bincount formulation (O(n log b) rather
+than a vmap over bins) that is jit- and TPU-friendly.
 """
 from functools import partial
 from typing import List, Optional
@@ -13,25 +18,36 @@ from ecnf_tpu.ops.graph import pairwise_difference
 
 
 def plot_history(history):
-    """Plot a dict of scalar metric histories (reference `plotting.py:15-30`)."""
-    import matplotlib.pyplot as plt
-    import pandas as pd
+    """Render a dict of scalar metric histories as a one-column panel.
 
-    figure, axs = plt.subplots(len(history), 1, figsize=(7, 3 * max(len(history), 1)))
-    if len(history) == 1:
-        axs = [axs]
-    elif len(history) == 0:
-        return
-    for i, key in enumerate(history):
-        data = pd.Series(history[key])
-        data = data.replace([np.inf, -np.inf], np.nan)
-        if data.isna().sum() > 0:
-            data = data.dropna()
-            print(f"NaN encountered in {key} history")
-        axs[i].plot(data)
-        axs[i].set_title(key)
+    Non-finite entries are dropped per series (with a count reported in the
+    subplot title) and the remaining points keep their original iteration
+    index on the x-axis, so gaps stay visible.
+    """
+    import matplotlib.pyplot as plt
+
+    if not history:
+        return None
+    keys = list(history)
+    figure, axs = plt.subplots(len(keys), 1, figsize=(7, 3 * len(keys)), squeeze=False)
+    for ax, key in zip(axs[:, 0], keys):
+        values = np.asarray(
+            [v if _is_scalar_number(v) else np.nan for v in history[key]], dtype=np.float64
+        )
+        finite = np.isfinite(values)
+        ax.plot(np.nonzero(finite)[0], values[finite])
+        n_dropped = int(values.size - finite.sum())
+        title = key if n_dropped == 0 else f"{key} ({n_dropped} non-finite dropped)"
+        ax.set_title(title)
     plt.tight_layout()
     return figure
+
+
+def _is_scalar_number(v) -> bool:
+    try:
+        return np.asarray(v).shape == () and np.issubdtype(np.asarray(v).dtype, np.number)
+    except Exception:
+        return False
 
 
 def get_pairwise_distances_for_plotting(
@@ -59,10 +75,19 @@ def get_counts(
     bins: jax.Array = jnp.linspace(0.0, 8.0, num=50),
     normalize: bool = True,
 ) -> jax.Array:
-    """Histogram counts of distances per bin (reference `plotting.py:50-63`)."""
+    """Per-bin counts with `[lower, upper)` semantics via searchsorted.
+
+    Each distance lands in the bin whose left edge is the largest edge
+    <= the value; values below `bins[0]` or at/above `bins[-1]` are
+    excluded (they still count in the normalization denominator, matching
+    the reference's histogram behavior at `plotting.py:50-63`).
+    """
     assert distances.ndim == 1
-    count_fn = lambda lower, upper: jnp.sum((distances >= lower) & (distances < upper))
-    counts = jax.vmap(count_fn)(bins[:-1], bins[1:])
+    n_bins = bins.shape[0] - 1
+    idx = jnp.searchsorted(bins, distances, side="right") - 1
+    in_range = (idx >= 0) & (idx < n_bins)
+    # Out-of-range values go to an overflow slot that is sliced off.
+    counts = jnp.bincount(jnp.where(in_range, idx, n_bins), length=n_bins + 1)[:n_bins]
     if normalize:
         counts = counts / distances.shape[0]
     return counts
@@ -75,21 +100,22 @@ def bin_samples_by_dist(
     max_bin_fallback: float = 10.0,
     num_bins: int = 100,
 ):
-    """Common bins + per-array counts for a list of sample arrays.
+    """Shared bin edges + per-array normalized counts for several sample sets.
 
-    Parity: reference `plotting.py:66-92`.
+    Bin edges span `[0, max_finite_distance + 0.05]`; non-finite distances
+    are mapped to a below-range sentinel so they never land in a bin but do
+    enter each array's normalization denominator.  Same observable behavior
+    as the reference's version (`plotting.py:66-92`) without the per-array
+    nanmax bookkeeping.
     """
-    distance_list = []
-    dist_max_list = []
+    sanitized = []
     for samples in samples_list:
-        distance = get_pairwise_distances_for_plotting(samples, max_distance=max_distance)
-        distance = jnp.where(jnp.isfinite(distance), distance, -1)
-        distance_list.append(distance)
-        dist_max_list.append(jnp.nanmax(distance_list[-1]))
+        d = get_pairwise_distances_for_plotting(samples, max_distance=max_distance)
+        sanitized.append(jnp.where(jnp.isfinite(d), d, -1.0))
 
-    max_dist = jnp.nanmax(jnp.array(dist_max_list))
-    max_dist = jnp.where(jnp.isfinite(max_dist), max_dist, max_bin_fallback)
-    bins = jnp.linspace(0, max_dist + 0.05, num_bins)
+    top = jnp.max(jnp.array([jnp.max(d) for d in sanitized]))
+    top = jnp.where(jnp.isfinite(top), top, max_bin_fallback)
+    bins = jnp.linspace(0, top + 0.05, num_bins)
 
-    count_list = [get_counts(distance, bins) for distance in distance_list]
+    count_list = [get_counts(d, bins) for d in sanitized]
     return bins, count_list

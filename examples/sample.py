@@ -39,7 +39,13 @@ def main():
     parser.add_argument("--checkpoint-dir", type=str, required=True)
     parser.add_argument("--n-nodes", type=int, required=True)
     parser.add_argument("--dim", type=int, default=3)
-    parser.add_argument("--n-samples", type=int, default=1024)
+    def positive_int(text: str) -> int:
+        v = int(text)
+        if v < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return v
+
+    parser.add_argument("--n-samples", type=positive_int, default=1024)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--output", type=str, default=None, help="write samples here")
     parser.add_argument("--log-prob-output", type=str, default=None)
@@ -143,6 +149,20 @@ def main():
         else:
             samples[start : start + take] = np.asarray(out)[:take]
     dt = time.perf_counter() - t0
+
+    # Diverged / budget-exhausted adaptive solves come back as NaN rows
+    # (ops/ode.py NaN-freeze); surface them before anything consumes the
+    # saved array.
+    bad = ~np.isfinite(samples).all(axis=1)
+    if log_q is not None:
+        bad |= ~np.isfinite(log_q)
+    n_bad = int(bad.sum())
+    if n_bad:
+        print(
+            f"WARNING: {n_bad}/{n} samples are non-finite (diverged or "
+            "budget-exhausted ODE solves); they are kept in the output as "
+            "NaN rows."
+        )
 
     extra = ""
     if log_q is not None:
