@@ -85,3 +85,82 @@ class TestHMC:
         )
         # Samples hover around the target mean at 5 (started there).
         np.testing.assert_allclose(float(samples.mean()), 5.0, atol=0.3)
+
+
+class TestDiagnostics:
+    """Convergence statistics used to gate the regenerated datasets."""
+
+    def _iid_chains(self, c=8, s=400, seed=0):
+        return np.random.default_rng(seed).normal(size=(c, s))
+
+    def test_split_rhat_iid_near_one(self):
+        from ecnf_tpu.targets.diagnostics import split_rhat
+
+        assert abs(split_rhat(self._iid_chains()) - 1.0) < 0.02
+
+    def test_split_rhat_detects_disagreeing_chains(self):
+        from ecnf_tpu.targets.diagnostics import split_rhat
+
+        x = self._iid_chains()
+        x[0] += 5.0  # one chain stuck in a different mode
+        assert split_rhat(x) > 1.2
+
+    def test_split_rhat_detects_nonstationarity(self):
+        from ecnf_tpu.targets.diagnostics import split_rhat
+
+        # Every chain drifts identically: between-half variance blows up
+        # even though the chains agree with each other.
+        x = self._iid_chains() + np.linspace(0, 6, 400)[None, :]
+        assert split_rhat(x) > 1.2
+
+    def test_bulk_ess_iid_close_to_n(self):
+        from ecnf_tpu.targets.diagnostics import bulk_ess
+
+        x = self._iid_chains(c=8, s=500)
+        ess = bulk_ess(x)
+        assert 0.5 * x.size < ess < 1.6 * x.size
+
+    def test_bulk_ess_correlated_much_smaller(self):
+        from ecnf_tpu.targets.diagnostics import bulk_ess
+
+        rng = np.random.default_rng(1)
+        c, s, rho = 8, 800, 0.97
+        x = np.zeros((c, s))
+        x[:, 0] = rng.normal(size=c)
+        for t in range(1, s):
+            x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho**2) * rng.normal(size=c)
+        assert bulk_ess(x) < 0.15 * x.size
+
+    def test_mean_pairwise_distance(self):
+        from ecnf_tpu.targets.diagnostics import mean_pairwise_distance
+
+        # Unit square: 4 sides of 1 + 2 diagonals of sqrt(2), mean over 6.
+        square = np.array(
+            [[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]]
+        )
+        expect = (4 * 1.0 + 2 * np.sqrt(2.0)) / 6.0
+        np.testing.assert_allclose(mean_pairwise_distance(square), [expect])
+
+    def test_mcmc_diagnostics_report(self):
+        from ecnf_tpu.targets.diagnostics import mcmc_diagnostics
+
+        rng = np.random.default_rng(2)
+        data = rng.normal(size=(8 * 100, 4, 2))
+        rep = mcmc_diagnostics(
+            data, n_chains=8, log_prob_fn=lambda x: -np.asarray(x**2).sum((-1, -2))
+        )
+        for k in ("rhat_energy", "rhat_dist", "ess_energy", "ess_dist"):
+            assert k in rep and np.isfinite(rep[k])
+        assert rep["rhat_energy"] < 1.05
+
+    def test_generation_gate_rejects_stuck_chains(self):
+        from ecnf_tpu.targets.data import _gate_on_mixing
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(8 * 100, 4, 2))
+        data[:100] += 7.0  # first chain far away
+        with pytest.raises(AssertionError, match="did not converge"):
+            _gate_on_mixing(
+                "TEST", data, n_chains=8,
+                log_prob_fn=lambda x: -np.asarray(x**2).sum((-1, -2)),
+            )
