@@ -390,3 +390,23 @@ def test_dw4_cli_subprocess(tmp_path):
     assert result.returncode == 0, result.stderr[-4000:]
     # The list logger prints eval info dicts; training must have evaluated.
     assert "test_log_lik" in result.stdout + result.stderr, result.stdout[-2000:]
+
+
+def test_sample_cli_rejects_zero_samples(tmp_path):
+    """--n-samples < 1 must fail at argument parsing (not crash later in
+    the timing math)."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [
+            sys.executable, "sample.py",
+            "--checkpoint-dir", str(tmp_path),  # never reached
+            "--n-nodes", "4", "--dim", "2",
+            "--n-samples", "0",
+        ],
+        cwd=str(REPO / "examples"),
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 2  # argparse usage error
+    assert "must be >= 1" in result.stderr

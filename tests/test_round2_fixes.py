@@ -245,3 +245,76 @@ class TestEvalPlots:
         plots_dir.mkdir(exist_ok=True)
         tc.eval_and_plot_fn(state, jax.random.PRNGKey(1), 0, True, str(plots_dir))
         assert list(plots_dir.iterdir())
+
+
+class TestWandbOnlinePaths:
+    """Exercise the online WandbLogger code paths against a stub wandb
+    module (no network in this container): init kwargs, per-write
+    `run.log(step=i, commit=False)`, `finish()` at close, and the
+    artifact upload of checkpoints/plots at loop exit
+    (reference `loop.py:176-178`)."""
+
+    def _stub(self, monkeypatch):
+        calls = {"log": [], "save": [], "finished": []}
+
+        class _Run:
+            dir = "/tmp/stub_run"
+
+            def log(self, data, step=None, commit=None):
+                calls["log"].append((dict(data), step, commit))
+
+            def finish(self):
+                calls["finished"].append(True)
+
+        fake = types.ModuleType("wandb")
+
+        def _init(**kw):
+            calls["init"] = kw
+            return _Run()
+
+        fake.init = _init
+        fake.save = lambda pattern, base_path=None, policy=None: calls["save"].append(
+            (pattern, base_path, policy)
+        )
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        return calls
+
+    def test_logger_online_write_and_close(self, monkeypatch):
+        calls = self._stub(monkeypatch)
+        from ecnf_tpu.training.loggers import WandbLogger
+
+        lg = WandbLogger(project="p", tags=["t"])
+        assert calls["init"]["project"] == "p"
+        lg.write({"loss": 1.0})
+        lg.write({"loss": 0.5})
+        lg.close()
+        steps = [s for (_, s, _) in calls["log"]]
+        commits = {c for (_, _, c) in calls["log"]}
+        assert steps == [0, 1]  # own monotone step counter
+        assert commits == {False}  # reference semantics: commit=False
+        assert calls["finished"]
+
+    def test_loop_uploads_artifacts_at_exit(self, tmp_path, monkeypatch):
+        calls = self._stub(monkeypatch)
+        import jax.numpy as jnp
+
+        from ecnf_tpu.training.loggers import WandbLogger
+        from ecnf_tpu.training.loop import TrainConfig, run_training
+
+        cfg = TrainConfig(
+            n_iteration=2,
+            logger=WandbLogger(project="p"),
+            seed=0,
+            n_checkpoints=1,
+            n_eval=0,
+            init_state=lambda key: {"w": jnp.zeros(1)},
+            update_state=lambda st: ({"w": st["w"] + 1}, {"loss": 0.0}),
+            eval_and_plot_fn=None,
+            save=True,
+            save_dir=str(tmp_path),
+        )
+        run_training(cfg)
+        patterns = [p for (p, _, _) in calls["save"]]
+        assert any("model_checkpoints" in p for p in patterns)
+        assert any("plots" in p for p in patterns)
+        assert all(bp == str(tmp_path) for (_, bp, _) in calls["save"])
