@@ -112,12 +112,19 @@ class CSVLogger(Logger):
         self.rows: List[Dict[str, Any]] = []
         self.buffer: List[Dict[str, Any]] = []
         self.iter = 0
+        # Columns currently present in the on-disk file (None until the
+        # first rewrite).  Flushes whose rows fit this set are appended in
+        # place; a row with a new key triggers one full rewrite with the
+        # widened column set.  Long runs (e.g. 400k-step soaks) therefore
+        # pay O(rows) total IO, not O(rows^2) of whole-file rewrites.
+        self._file_columns: Optional[List[str]] = None
         if os.path.exists(self.save_path):
             import pandas as pd
 
             df = pd.read_csv(self.save_path, index_col=0)
             self.rows = df.to_dict("records")
             self.iter = len(self.rows)
+            self._file_columns = list(df.columns)
 
     def write(self, data: LoggingData) -> None:
         row = {}
@@ -132,10 +139,21 @@ class CSVLogger(Logger):
     def _flush(self) -> None:
         import pandas as pd
 
-        self.rows.extend(self.buffer)
-        self.buffer = []
+        if not self.buffer:
+            return
+        buffered, self.buffer = self.buffer, []
+        start = len(self.rows)
+        self.rows.extend(buffered)
         pathlib.Path(self.save_path).parent.mkdir(exist_ok=True, parents=True)
-        pd.DataFrame(self.rows).to_csv(self.save_path)
+        cols = self._file_columns
+        if cols is not None and all(set(r) <= set(cols) for r in buffered):
+            pd.DataFrame(buffered, columns=cols, index=range(start, len(self.rows))).to_csv(
+                self.save_path, mode="a", header=False
+            )
+        else:
+            df = pd.DataFrame(self.rows)
+            df.to_csv(self.save_path)
+            self._file_columns = list(df.columns)
 
     def close(self) -> None:
         if self.save:

@@ -121,6 +121,41 @@ class TestLoggers:
         df = pd.read_csv(os.path.join(str(tmp_path), "logging_history.csv"), index_col=0)
         assert len(df) == 2
 
+    def test_csv_logger_append_mode_matches_full_rewrite(self, tmp_path):
+        """Incremental flushes (append-only once columns stabilize, one
+        rewrite when a new key appears) must read back exactly like a
+        single end-of-run write — long soaks rely on the O(rows) path."""
+        import pandas as pd
+
+        rows = (
+            [{"loss": float(i)} for i in range(5)]
+            + [{"loss": 5.0, "eval_nll": -1.0}]  # widens the column set
+            + [{"loss": float(i), "eval_nll": float(-i)} for i in range(6, 12)]
+            + [{"loss": 12.0}]  # missing key -> NaN, still appendable
+        )
+        a = tmp_path / "a"
+        lg = CSVLogger(save=True, save_path=str(a), save_period=3)
+        for r in rows:
+            lg.write(r)
+        lg.close()
+        b = tmp_path / "b"
+        ref = CSVLogger(save=True, save_path=str(b), save_period=10_000)
+        for r in rows:
+            ref.write(r)
+        ref.close()
+        da = pd.read_csv(a / "logging_history.csv", index_col=0)
+        db = pd.read_csv(b / "logging_history.csv", index_col=0)
+        pd.testing.assert_frame_equal(da, db)
+        assert len(da) == len(rows)
+
+        # Resume: a new logger on the same file appends, keeping columns.
+        lg2 = CSVLogger(save=True, save_path=str(a), save_period=1)
+        lg2.write({"loss": 13.0})
+        lg2.close()
+        da2 = pd.read_csv(a / "logging_history.csv", index_col=0)
+        assert len(da2) == len(rows) + 1
+        assert list(da2.columns) == list(da.columns)
+
     def test_setup_logger_selection(self):
         assert isinstance(setup_logger({"list_logger": None}), ListLogger)
         with pytest.raises(ValueError):
