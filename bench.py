@@ -1,19 +1,40 @@
-"""Benchmark: LJ13 sampling with exact log-prob, samples/s/chip.
+"""Benchmark suite: LJ13 + QM9-scale headline numbers, one JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
-Headline task (BASELINE.md): draw LJ13 flow samples *with* exact
-log-density — the reference's most expensive inference path
+Headline (`metric`/`value`): LJ13 flow samples *with* exact log-density —
+the reference's most expensive inference path
 (`ecnf/cnf/sample_and_log_prob.py:97-149`: Dopri5 + D-column exact trace
-per stage).  Fixed-step Dopri5 (20 steps, the reference's 0.05 step-size
-option) is used so the measured cost is deterministic and independent of
-model weights; the exact trace runs all D=39 Jacobian columns.
+per stage) — run with the TPU-native stepper (fixed-step RK4 on the
+reference's 0.05 grid; equal per-point accuracy to fixed Dopri5 at this
+grid, `scripts/method_accuracy_study.py`, docs/PERF.md).
+
+`extras` (VERDICT r1 item 6) tracks, in the same JSON line:
+  - `lj13_dopri5_reference_stepper`: the same task with the reference's
+    own fixed-step Dopri5 — the PARITY number to quote when comparing
+    against the reference stepper-for-stepper.
+  - `qm9_sample_logprob_hutch4`: flagship-scale (19 atoms, D=57, 5-block
+    [256]x4 EGNN) sampling with Hutchinson log-density (K=4 probes; the
+    reference evaluates QM9 with approximate log-prob,
+    `examples/config/qm9.yaml: eval_exact_log_prob: false`, fixed at K=1
+    `sample_and_log_prob.py:55` — K=4 is this framework's recommended
+    batch-mean setting, docs/PERF.md estimator study).
+  - `qm9_train_step`: flagship-scale training steps/s (batch 256, EMA,
+    bf16), timed as a 100-step on-device `lax.scan` of the real update —
+    the whole-epoch-jit path used by `training/setup.py`.
 
 vs_baseline: the reference cannot run in this container (diffrax/distrax
-absent), so the recorded baseline is this same program measured on the host
-CPU (JAX_PLATFORMS=cpu) — a *favorable-to-the-baseline* proxy, since this
-framework's batched CPU path is itself faster than the reference's
-per-sample vmap+diffrax stack.  Override with ECNF_BENCH_BASELINE.
+absent, zero egress), so baselines are this same program measured on the
+host CPU (PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench.py), per
+task and per stepper — re-measured 2026-08-20 at the current defaults
+(rk4/batch 48, dopri5/batch 48), see BASELINE.md.  Override the headline
+baseline with ECNF_BENCH_BASELINE.  A favorable-to-the-baseline proxy:
+this framework's batched CPU path is itself faster than the reference's
+per-sample vmap+diffrax stack.
+
+Env knobs: ECNF_BENCH_TASK=suite|lj13_sample_logprob|qm9_sample_logprob|
+qm9_train_step|train_step, ECNF_BENCH_EXTRAS=0 (headline only),
+ECNF_BENCH_{BATCH,REPS,DTYPE,METHOD,TRACE_CHUNK,FUSED,TANGENT,BASELINE}.
 """
 import json
 import os
@@ -27,58 +48,231 @@ from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
 
-# Measured on this machine (see module docstring): our own CPU throughput on
-# the identical program (JAX_PLATFORMS=cpu, batch 16, best of 2: 64.1 s /
-# 16 samples), in samples/s.
-DEFAULT_CPU_BASELINE = float(os.environ.get("ECNF_BENCH_BASELINE", "0.25"))
+# Host-CPU baselines for vs_baseline, measured on this machine with the
+# identical programs (PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu, batch 48,
+# bf16, best rep; 2026-08-20).  Keyed by (task, method) so the ratio always
+# compares like with like (ADVICE r1: the old constant 0.25 was measured
+# with dopri5/batch 16 and overstated the rk4 speedup).
+CPU_BASELINES = {
+    ("lj13", "rk4"): 0.53,      # samples/s, re-measured 2026-08-20
+    ("lj13", "dopri5"): 0.36,   # samples/s, re-measured 2026-08-20
+    ("qm9_hutch4", "dopri5"): 2.88,  # samples/s, re-measured 2026-08-20
+}
 
-# Batch 48 is the sweep optimum with rk4 + the structured tangent
-# (docs/PERF.md: 287.6 samples/s at 48 vs 274.5 at 64, 249.8 at 128).
 BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "48"))
 REPS = int(os.environ.get("ECNF_BENCH_REPS", "5"))
 # The EGNN MLP stack runs in bf16 by default (the TPU-production setting:
 # geometry, aggregation and the ODE state stay f32, equivariance is exact,
 # and the edge tensors are HBM-bandwidth-bound so bf16 is ~2x).  Set
-# ECNF_BENCH_DTYPE=float32 for the full-f32 variant (69.6 samples/s/chip on
-# v5e vs 143.0 in bf16).
+# ECNF_BENCH_DTYPE=float32 for the full-f32 variant.
 COMPUTE_DTYPE = os.environ.get("ECNF_BENCH_DTYPE", "bfloat16")
 if COMPUTE_DTYPE in ("float32", "f32", ""):
     COMPUTE_DTYPE = None
-# Jacobian columns per scan chunk for the exact trace (smaller chunks
-# pipeline better; 0/unset = all columns at once).
 TRACE_CHUNK = int(os.environ.get("ECNF_BENCH_TRACE_CHUNK", "0")) or None
-# Use the fused forward+trace Pallas kernel (ops/pallas/trace_kernel.py).
 FUSED = os.environ.get("ECNF_BENCH_FUSED", "") not in ("", "0")
 # Hand-linearized trace (ops/pallas/tangent_kernel.py; default on — measured
 # 1.16x bf16 / 1.42x f32 per stage vs jax.linearize).  Set =0 to disable.
 TANGENT = os.environ.get("ECNF_BENCH_TANGENT", "1") not in ("", "0")
-# Fixed-step method: rk4 (default; 4 instead of 6 field evals/step = 1.47x,
-# and equal log-density accuracy to dopri5 at step 0.05 on a trained model —
-# both are step-size-dominated; scripts/method_accuracy_study.py, docs/PERF.md)
-# or dopri5 (the reference's fixed-step stepper, ECNF_BENCH_METHOD=dopri5).
+# Fixed-step method for the headline: rk4 (default; 4 instead of 6 field
+# evals/step = 1.47x at equal log-density accuracy on the 0.05 grid) or
+# dopri5 (the reference's fixed-step stepper).
 METHOD = os.environ.get("ECNF_BENCH_METHOD", "rk4")
+TASK = os.environ.get("ECNF_BENCH_TASK", "suite")
+EXTRAS = os.environ.get("ECNF_BENCH_EXTRAS", "1") not in ("", "0")
+
+_BASELINE_ENV = os.environ.get("ECNF_BENCH_BASELINE")
 
 
-TASK = os.environ.get("ECNF_BENCH_TASK", "lj13_sample_logprob")
+def _baseline(task: str, method: str):
+    if task == "lj13" and _BASELINE_ENV:
+        return float(_BASELINE_ENV)
+    return CPU_BASELINES.get((task, method))
 
 
-def bench_train_step() -> None:
-    """Secondary task: jitted train-step throughput (DW4-scale, steps/s)."""
-    import jax.numpy as jnp
+def _vs(per_chip: float, baseline) -> float:
+    # vs_baseline must stay a number for the driver; 0.0 = "no baseline".
+    return round(per_chip / baseline, 2) if baseline else 0.0
 
+
+def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
+                        reps: int, label: str) -> float:
+    """samples/s/chip for a mesh-sharded `sample_and_log_prob_cnf` solve."""
+    from ecnf_tpu.cnf.sampling import sample_and_log_prob_cnf
+    from ecnf_tpu.parallel.mesh import (
+        get_mesh, data_sharded, replicated, pad_to_multiple,
+    )
+
+    feats = jnp.zeros((2, n_nodes), dtype=jnp.int32)
+    x0 = jnp.zeros((2, n_nodes * 3))
+    params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats)
+
+    # Shard the batch over all chips (same GSPMD pattern as the training
+    # eval paths): on 1 chip this is a no-op; on a multi-chip host the
+    # solve parallelizes over the data axis instead of idling N-1 chips.
+    mesh = get_mesh()
+    padded = pad_to_multiple(batch, int(mesh.devices.size))
+    if padded != batch:
+        print(f"{label}: batch {batch} -> {padded} (rounded up to the mesh)",
+              file=sys.stderr)
+        batch = padded
+    feats_b = jax.device_put(
+        jnp.zeros((batch, n_nodes), dtype=jnp.int32), data_sharded(mesh)
+    )
+
+    def run(key, feats_):
+        return sample_and_log_prob_cnf(
+            cnf, params, key, batch, features=feats_, approx=approx, cfg=cfg
+        )
+
+    run_jit = jax.jit(
+        run,
+        in_shardings=(replicated(mesh), data_sharded(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+    t0 = time.perf_counter()
+    out = run_jit(jax.random.PRNGKey(1), feats_b)
+    jax.block_until_ready(out)
+    print(f"{label}: compile+first run {time.perf_counter() - t0:.2f}s",
+          file=sys.stderr)
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = run_jit(jax.random.PRNGKey(2 + i), feats_b)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    per_chip = batch / best / jax.device_count()
+    print(
+        f"{label}: device={jax.devices()[0].device_kind} batch={batch} "
+        f"best={best * 1e3:.1f}ms -> {per_chip:.1f} samples/s/chip "
+        f"({jax.device_count()} chip(s))",
+        file=sys.stderr,
+    )
+    return per_chip
+
+
+def _lj13_cnf():
     from ecnf_tpu.cnf.build import build_cnf
-    from ecnf_tpu.training.optim import build_optimizer
-    from ecnf_tpu.training.state import init_training_state, make_update_fn
 
-    n_nodes, dim = 13, 3
-    cnf = build_cnf(
-        n_frames=n_nodes, dim=dim, sigma_min=0.01, base_scale=1.0,
+    return build_cnf(
+        n_frames=13, dim=3, sigma_min=0.01, base_scale=1.0,
         n_blocks_egnn=3, mlp_units=(128, 128, 128),
         n_invariant_feat_hidden=64, time_embedding_dim=8, n_features=1,
         compute_dtype=COMPUTE_DTYPE,
     )
+
+
+def _qm9_cnf():
+    # The flagship config (`examples/configs/qm9.yaml`): 19 padded atoms,
+    # D=57, 5 blocks x [256]^4, hidden 32, sigma_min 1e-6, base_scale 2.
+    from ecnf_tpu.cnf.build import build_cnf
+
+    return build_cnf(
+        n_frames=19, dim=3, sigma_min=1e-6, base_scale=2.0,
+        n_blocks_egnn=5, mlp_units=(256, 256, 256, 256),
+        n_invariant_feat_hidden=32, time_embedding_dim=8, n_features=1,
+        compute_dtype=COMPUTE_DTYPE,
+    )
+
+
+def _solve_cfg(method: str, hutchinson_probes: int = 1):
+    from ecnf_tpu.cnf.sampling import SolveConfig
+
+    return SolveConfig(
+        use_fixed_step_size=True,
+        step_size=0.05,
+        trace_column_chunk=TRACE_CHUNK,
+        fused_trace=FUSED,
+        structured_tangent=TANGENT,
+        method=method,
+        hutchinson_probes=hutchinson_probes,
+    )
+
+
+def bench_lj13(method: str, reps: int) -> float:
+    return _sharded_solve_rate(
+        _lj13_cnf(), n_nodes=13, batch=BATCH, cfg=_solve_cfg(method),
+        approx=False, reps=reps, label=f"lj13[{method}]",
+    )
+
+
+def bench_qm9_sample_logprob(reps: int) -> float:
+    # Reference stepper (fixed Dopri5 @ 0.05) + K=4 Hutchinson — the
+    # flagship eval path (`qm9.yaml: eval_exact_log_prob: false`).
+    return _sharded_solve_rate(
+        _qm9_cnf(), n_nodes=19, batch=64,
+        cfg=_solve_cfg("dopri5", hutchinson_probes=4),
+        approx=True, reps=reps, label="qm9[hutch4,dopri5]",
+    )
+
+
+def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
+    """Flagship train-step steps/s via a 100-step on-device scan.
+
+    Mirrors the whole-epoch-jit path (`training/setup.py`); a 100-step
+    program makes the ~28 ms tunnel dispatch latency a <2% effect
+    (slope-validated in `scripts/epoch_rate_probe.py`: scan == python
+    loop of the standalone update within 2%).
+    """
+    import numpy as np
+
+    from ecnf_tpu.training.optim import build_optimizer
+    from ecnf_tpu.training.state import init_training_state, make_update_fn
+
+    n_nodes, batch = 19, 256
+    cnf = _qm9_cnf()
     opt = build_optimizer(1e-4, use_schedule=False)
-    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, n_nodes * dim))
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        rng.normal(size=(n_steps, batch, n_nodes * 3)).astype(np.float32)
+    )
+    feats = jnp.zeros((batch, n_nodes), dtype=jnp.int32)
+    state = init_training_state(
+        cnf, opt, jax.random.PRNGKey(0), data[0, :2], feats[:2], use_ema=True
+    )
+    update = make_update_fn(cnf, opt, use_ema=True)
+
+    def run(st, xs):
+        def body(s, xb):
+            s2, info = update(s, xb, feats)
+            return s2, info["loss"]
+        st, losses = jax.lax.scan(body, st, xs)
+        return st, losses[-1]
+
+    run_jit = jax.jit(run, donate_argnums=(0,))
+    t0 = time.perf_counter()
+    state, loss = run_jit(state, data)
+    jax.block_until_ready(loss)
+    print(f"qm9_train: compile+first run {time.perf_counter() - t0:.2f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, loss = run_jit(state, data)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    steps_s = n_steps / best / jax.device_count()
+    print(
+        f"qm9_train: batch={batch} {best / n_steps * 1e3:.2f} ms/step -> "
+        f"{steps_s:.1f} steps/s/chip",
+        file=sys.stderr,
+    )
+    return steps_s
+
+
+def bench_train_step() -> None:
+    """Legacy task: jitted LJ13-scale train-step throughput (steps/s)."""
+    from ecnf_tpu.training.optim import build_optimizer
+    from ecnf_tpu.training.state import init_training_state, make_update_fn
+
+    n_nodes = 13
+    cnf = _lj13_cnf()
+    opt = build_optimizer(1e-4, use_schedule=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, n_nodes * 3))
     feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
     state = init_training_state(cnf, opt, jax.random.PRNGKey(1), x[:2], feats[:2])
     update = make_update_fn(cnf, opt)
@@ -91,112 +285,75 @@ def bench_train_step() -> None:
         state, info = update(state, x, feats)
     jax.block_until_ready(info["loss"])
     dt = (time.perf_counter() - t0) / n_steps
-    print(
-        json.dumps(
-            {
-                "metric": "lj13_train_step",
-                "value": round(1.0 / dt, 1),
-                "unit": "steps/s/chip",
-                "vs_baseline": round((1.0 / dt) / 1.0, 2),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "lj13_train_step",
+        "value": round(1.0 / dt, 1),
+        "unit": "steps/s/chip",
+        "vs_baseline": round((1.0 / dt) / 1.0, 2),
+    }))
 
 
 def main() -> None:
-    global BATCH
     if TASK == "train_step":
         bench_train_step()
         return
+    if TASK == "qm9_train_step":
+        v = bench_qm9_train_step(reps=max(REPS, 3))
+        print(json.dumps({"metric": "qm9_train_step", "value": round(v, 1),
+                          "unit": "steps/s/chip", "vs_baseline": 0.0}))
+        return
+    if TASK == "qm9_sample_logprob":
+        v = bench_qm9_sample_logprob(reps=REPS)
+        print(json.dumps({
+            "metric": "qm9_sample_logprob_hutch4", "value": round(v, 2),
+            "unit": "samples/s/chip",
+            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "dopri5")),
+        }))
+        return
+    if TASK == "lj13_sample_logprob" or not EXTRAS:
+        v = bench_lj13(METHOD, reps=REPS)
+        print(json.dumps({
+            "metric": "lj13_sample_with_exact_logprob", "value": round(v, 2),
+            "unit": "samples/s/chip",
+            "vs_baseline": _vs(v, _baseline("lj13", METHOD)),
+        }))
+        return
 
-    from ecnf_tpu.cnf.build import build_cnf
-    from ecnf_tpu.cnf.sampling import SolveConfig, sample_and_log_prob_cnf
+    # Default: the full suite, one JSON line (VERDICT r1 item 6).
+    headline = bench_lj13(METHOD, reps=REPS)
+    extras = {}
+    parity_method = "dopri5" if METHOD == "rk4" else "rk4"
+    try:
+        v = bench_lj13(parity_method, reps=3)
+        extras[f"lj13_{parity_method}_reference_stepper"
+               if parity_method == "dopri5" else "lj13_rk4_tpu_native"] = {
+            "value": round(v, 2), "unit": "samples/s/chip",
+            "vs_baseline": _vs(v, _baseline("lj13", parity_method)),
+        }
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        print(f"lj13[{parity_method}] extra failed: {e}", file=sys.stderr)
+    try:
+        v = bench_qm9_sample_logprob(reps=3)
+        extras["qm9_sample_logprob_hutch4"] = {
+            "value": round(v, 2), "unit": "samples/s/chip",
+            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "dopri5")),
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"qm9 sampling extra failed: {e}", file=sys.stderr)
+    try:
+        v = bench_qm9_train_step(reps=3)
+        extras["qm9_train_step"] = {"value": round(v, 1),
+                                    "unit": "steps/s/chip"}
+    except Exception as e:  # pragma: no cover
+        print(f"qm9 train extra failed: {e}", file=sys.stderr)
 
-    n_nodes, dim = 13, 3
-    cnf = build_cnf(
-        n_frames=n_nodes,
-        dim=dim,
-        sigma_min=0.01,
-        base_scale=1.0,
-        n_blocks_egnn=3,
-        mlp_units=(128, 128, 128),
-        n_invariant_feat_hidden=64,
-        time_embedding_dim=8,
-        n_features=1,
-        compute_dtype=COMPUTE_DTYPE,
-    )
-    feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
-    x0 = jnp.zeros((2, n_nodes * dim))
-    params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats[:2])
-
-    cfg = SolveConfig(
-        use_fixed_step_size=True,
-        step_size=0.05,
-        trace_column_chunk=TRACE_CHUNK,
-        fused_trace=FUSED,
-        structured_tangent=TANGENT,
-        method=METHOD,
-    )
-
-    def run(key, feats_):
-        return sample_and_log_prob_cnf(
-            cnf, params, key, BATCH, features=feats_, approx=False, cfg=cfg
-        )
-
-    # Shard the batch over all chips (same GSPMD pattern as the training
-    # eval paths): on 1 chip this is a no-op; on a multi-chip host the
-    # solve parallelizes over the data axis instead of idling N-1 chips.
-    from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
-
-    mesh = get_mesh()
-    padded = pad_to_multiple(BATCH, int(mesh.devices.size))
-    if padded != BATCH:
-        print(f"batch {BATCH} -> {padded} (rounded up to the mesh)", file=sys.stderr)
-        BATCH = padded
-        feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
-    feats = jax.device_put(feats, data_sharded(mesh))
-    run_jit = jax.jit(
-        run,
-        in_shardings=(replicated(mesh), data_sharded(mesh)),
-        out_shardings=replicated(mesh),
-    )
-
-    key = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
-    x1, log_q = run_jit(key, feats)
-    jax.block_until_ready((x1, log_q))
-    compile_and_first = time.perf_counter() - t0
-    print(f"compile+first run: {compile_and_first:.2f}s", file=sys.stderr)
-
-    times = []
-    for i in range(REPS):
-        key = jax.random.PRNGKey(2 + i)
-        t0 = time.perf_counter()
-        out = run_jit(key, feats)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    throughput = BATCH / best
-    n_chips = jax.device_count()
-    per_chip = throughput / n_chips
-
-    print(
-        f"device={jax.devices()[0].device_kind} batch={BATCH} "
-        f"best={best*1e3:.1f}ms throughput={throughput:.1f} samples/s "
-        f"({per_chip:.1f}/chip, {n_chips} chip(s))",
-        file=sys.stderr,
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "lj13_sample_with_exact_logprob",
-                "value": round(per_chip, 2),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(per_chip / DEFAULT_CPU_BASELINE, 2),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "lj13_sample_with_exact_logprob",
+        "value": round(headline, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": _vs(headline, _baseline("lj13", METHOD)),
+        "extras": extras,
+    }))
 
 
 if __name__ == "__main__":

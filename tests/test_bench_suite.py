@@ -1,0 +1,152 @@
+"""The driver-facing bench suite (`bench.py`): dispatch, JSON shape,
+and baseline bookkeeping (VERDICT r1 item 6, ADVICE r1 item 1).
+
+The actual TPU rates are measured on hardware (BASELINE.md, BENCH_r*.json);
+these tests pin the *contract*: one JSON line on stdout with numeric
+`metric/value/unit/vs_baseline`, extras attached in suite mode, per-(task,
+method) baselines so vs_baseline always compares like with like, and env
+knobs routed to the right sub-benchmarks.
+"""
+import importlib
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+
+def _reload(monkeypatch, **env):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    return importlib.reload(bench)
+
+
+@pytest.fixture(autouse=True)
+def _restore_bench_module():
+    yield
+    importlib.reload(bench)
+
+
+def _fake_rates(mod, monkeypatch, lj13=300.0, qm9=25.0, train=95.0):
+    calls = []
+
+    def fake_lj13(method, reps):
+        calls.append(("lj13", method, reps))
+        return lj13
+
+    def fake_qm9(reps):
+        calls.append(("qm9", "dopri5", reps))
+        return qm9
+
+    def fake_train(reps=3, n_steps=100):
+        calls.append(("qm9_train", None, reps))
+        return train
+
+    monkeypatch.setattr(mod, "bench_lj13", fake_lj13)
+    monkeypatch.setattr(mod, "bench_qm9_sample_logprob", fake_qm9)
+    monkeypatch.setattr(mod, "bench_qm9_train_step", fake_train)
+    return calls
+
+
+def _run_main(mod, capsys):
+    mod.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, f"bench must print exactly one stdout line: {out}"
+    return json.loads(out[0])
+
+
+class TestSuiteMode:
+    def test_suite_json_shape(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite")
+        calls = _fake_rates(mod, monkeypatch)
+        rec = _run_main(mod, capsys)
+        assert rec["metric"] == "lj13_sample_with_exact_logprob"
+        assert rec["value"] == 300.0
+        assert rec["unit"] == "samples/s/chip"
+        assert isinstance(rec["vs_baseline"], (int, float))
+        # rk4 headline -> dopri5 is the reference-stepper parity extra.
+        assert set(rec["extras"]) == {
+            "lj13_dopri5_reference_stepper",
+            "qm9_sample_logprob_hutch4",
+            "qm9_train_step",
+        }
+        assert ("lj13", "rk4", mod.REPS) in calls
+        assert ("lj13", "dopri5", 3) in calls
+
+    def test_vs_baseline_keyed_by_method(self, monkeypatch, capsys):
+        """ADVICE r1: the ratio must compare like with like — the rk4
+        headline and the dopri5 parity extra use different baselines."""
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite")
+        _fake_rates(mod, monkeypatch, lj13=300.0)
+        rec = _run_main(mod, capsys)
+        rk4_base = mod.CPU_BASELINES[("lj13", "rk4")]
+        dopri5_base = mod.CPU_BASELINES[("lj13", "dopri5")]
+        assert rec["vs_baseline"] == round(300.0 / rk4_base, 2)
+        extra = rec["extras"]["lj13_dopri5_reference_stepper"]
+        assert extra["vs_baseline"] == round(300.0 / dopri5_base, 2)
+        assert rk4_base != dopri5_base  # distinct programs, distinct baselines
+
+    def test_extra_failure_keeps_headline(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite")
+
+        def boom(reps):
+            raise RuntimeError("qm9 compile blew up")
+
+        _fake_rates(mod, monkeypatch)
+        monkeypatch.setattr(mod, "bench_qm9_sample_logprob", boom)
+        rec = _run_main(mod, capsys)
+        assert rec["metric"] == "lj13_sample_with_exact_logprob"
+        assert "qm9_sample_logprob_hutch4" not in rec["extras"]
+        assert "qm9_train_step" in rec["extras"]
+
+    def test_extras_opt_out(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite",
+                      ECNF_BENCH_EXTRAS="0")
+        calls = _fake_rates(mod, monkeypatch)
+        rec = _run_main(mod, capsys)
+        assert "extras" not in rec
+        assert calls == [("lj13", "rk4", mod.REPS)]
+
+
+class TestSingleTasks:
+    def test_qm9_sample_task(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="qm9_sample_logprob")
+        _fake_rates(mod, monkeypatch, qm9=30.0)
+        rec = _run_main(mod, capsys)
+        assert rec["metric"] == "qm9_sample_logprob_hutch4"
+        base = mod.CPU_BASELINES[("qm9_hutch4", "dopri5")]
+        assert rec["vs_baseline"] == round(30.0 / base, 2)
+
+    def test_qm9_train_task(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="qm9_train_step")
+        _fake_rates(mod, monkeypatch, train=88.0)
+        rec = _run_main(mod, capsys)
+        assert rec == {"metric": "qm9_train_step", "value": 88.0,
+                       "unit": "steps/s/chip", "vs_baseline": 0.0}
+
+    def test_headline_env_override(self, monkeypatch, capsys):
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="lj13_sample_logprob",
+                      ECNF_BENCH_BASELINE="2.0")
+        _fake_rates(mod, monkeypatch, lj13=100.0)
+        rec = _run_main(mod, capsys)
+        assert rec["vs_baseline"] == 50.0
+
+
+class TestBaselineTable:
+    def test_all_dispatched_tasks_have_baselines(self):
+        """Every (task, method) the suite quotes a ratio for must exist in
+        the measured table; a missing entry silently reports 0.0."""
+        for key in [("lj13", "rk4"), ("lj13", "dopri5"),
+                    ("qm9_hutch4", "dopri5")]:
+            assert key in bench.CPU_BASELINES
+            assert bench.CPU_BASELINES[key] > 0
+
+    def test_missing_baseline_reports_zero(self):
+        assert bench._vs(123.0, None) == 0.0
+        assert bench._vs(123.0, bench._baseline("nope", "rk4")) == 0.0
