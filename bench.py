@@ -198,13 +198,16 @@ def bench_lj13(method: str, reps: int) -> float:
     )
 
 
-def bench_qm9_sample_logprob(reps: int) -> float:
-    # Reference stepper (fixed Dopri5 @ 0.05) + K=4 Hutchinson — the
-    # flagship eval path (`qm9.yaml: eval_exact_log_prob: false`).
+def bench_qm9_sample_logprob(reps: int, method: str = "dopri5") -> float:
+    # K=4 Hutchinson — the flagship eval path (`qm9.yaml:
+    # eval_exact_log_prob: false`).  method="dopri5" is the reference
+    # stepper (the parity number); "rk4" is the TPU-native option — 1.48x
+    # at flagship scale and *closer* to the adaptive ground truth than
+    # fixed dopri5 on a trained model (`scripts/qm9_stepper_study.py`).
     return _sharded_solve_rate(
         _qm9_cnf(), n_nodes=19, batch=64,
-        cfg=_solve_cfg("dopri5", hutchinson_probes=4),
-        approx=True, reps=reps, label="qm9[hutch4,dopri5]",
+        cfg=_solve_cfg(method, hutchinson_probes=4),
+        approx=True, reps=reps, label=f"qm9[hutch4,{method}]",
     )
 
 
@@ -303,11 +306,12 @@ def main() -> None:
                           "unit": "steps/s/chip", "vs_baseline": 0.0}))
         return
     if TASK == "qm9_sample_logprob":
-        v = bench_qm9_sample_logprob(reps=REPS)
+        method = METHOD if METHOD in ("rk4", "dopri5") else "dopri5"
+        v = bench_qm9_sample_logprob(reps=REPS, method=method)
         print(json.dumps({
             "metric": "qm9_sample_logprob_hutch4", "value": round(v, 2),
             "unit": "samples/s/chip",
-            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "dopri5")),
+            "vs_baseline": _vs(v, _baseline("qm9_hutch4", method)),
         }))
         return
     if TASK == "lj13_sample_logprob" or not EXTRAS:
@@ -340,6 +344,14 @@ def main() -> None:
         }
     except Exception as e:  # pragma: no cover
         print(f"qm9 sampling extra failed: {e}", file=sys.stderr)
+    try:
+        v = bench_qm9_sample_logprob(reps=3, method="rk4")
+        extras["qm9_sample_logprob_hutch4_rk4"] = {
+            "value": round(v, 2), "unit": "samples/s/chip",
+            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "rk4")),
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"qm9 rk4 sampling extra failed: {e}", file=sys.stderr)
     try:
         v = bench_qm9_train_step(reps=3)
         extras["qm9_train_step"] = {"value": round(v, 1),

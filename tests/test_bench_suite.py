@@ -40,8 +40,8 @@ def _fake_rates(mod, monkeypatch, lj13=300.0, qm9=25.0, train=95.0):
         calls.append(("lj13", method, reps))
         return lj13
 
-    def fake_qm9(reps):
-        calls.append(("qm9", "dopri5", reps))
+    def fake_qm9(reps, method="dopri5"):
+        calls.append(("qm9", method, reps))
         return qm9
 
     def fake_train(reps=3, n_steps=100):
@@ -74,10 +74,13 @@ class TestSuiteMode:
         assert set(rec["extras"]) == {
             "lj13_dopri5_reference_stepper",
             "qm9_sample_logprob_hutch4",
+            "qm9_sample_logprob_hutch4_rk4",
             "qm9_train_step",
         }
         assert ("lj13", "rk4", mod.REPS) in calls
         assert ("lj13", "dopri5", 3) in calls
+        assert ("qm9", "dopri5", 3) in calls
+        assert ("qm9", "rk4", 3) in calls
 
     def test_vs_baseline_keyed_by_method(self, monkeypatch, capsys):
         """ADVICE r1: the ratio must compare like with like — the rk4
@@ -143,7 +146,7 @@ class TestBaselineTable:
         """Every (task, method) the suite quotes a ratio for must exist in
         the measured table; a missing entry silently reports 0.0."""
         for key in [("lj13", "rk4"), ("lj13", "dopri5"),
-                    ("qm9_hutch4", "dopri5")]:
+                    ("qm9_hutch4", "dopri5"), ("qm9_hutch4", "rk4")]:
             assert key in bench.CPU_BASELINES
             assert bench.CPU_BASELINES[key] > 0
 
