@@ -70,15 +70,24 @@ def restore_checkpoint(path: str, target: Any, partial: bool = False) -> Any:
 
     ckptr = ocp.PyTreeCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    # Explicit per-leaf restore args carrying the target's shardings: orbax
+    # then restores straight onto the intended mesh layout (same or changed
+    # topology) instead of its "populate sharding from file" fallback —
+    # which is unsafe when the saving topology differs and warns loudly.
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
     if partial:
         restored = ckptr.restore(
-            os.path.abspath(path), item=abstract, partial_restore=True
+            os.path.abspath(path), item=abstract, restore_args=restore_args,
+            partial_restore=True,
         )
     else:
-        restored = ckptr.restore(os.path.abspath(path), item=abstract)
-    # Re-place leaves on the target's shardings.
+        restored = ckptr.restore(
+            os.path.abspath(path), item=abstract, restore_args=restore_args
+        )
+    # Re-place leaves on the target's shardings (no-op when restore_args
+    # already landed them there; covers non-array leaves).
     def place(t, r):
-        if hasattr(t, "sharding"):
+        if hasattr(t, "sharding") and hasattr(r, "sharding") and r.sharding != t.sharding:
             return jax.device_put(r, t.sharding)
         return r
 
