@@ -41,6 +41,13 @@ import os
 import sys
 import time
 
+# Before any jax backend use: give tunneled-TPU processes a host cpu
+# backend so tracing doesn't round-trip the tunnel per constant op
+# (docs/PERF.md "Compile-time anomaly, diagnosed" — 677 s -> 80 s).
+from ecnf_tpu.utils.host_trace import ensure_host_cpu_backend, host_tracing
+
+ensure_host_cpu_backend()
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +89,45 @@ EXTRAS = os.environ.get("ECNF_BENCH_EXTRAS", "1") not in ("", "0")
 
 _BASELINE_ENV = os.environ.get("ECNF_BENCH_BASELINE")
 
+# Side-channel per-benchmark details (run-to-run spread, MFU), keyed by the
+# metric name each task reports under.  `main()` merges these into the JSON
+# so drifts like the 289 -> 283 headline move (VERDICT r2 item 8) are
+# classifiable as noise vs regression, and utilization regressions are
+# driver-visible (item 7).  Tasks that are monkeypatched in tests simply
+# leave no entry.
+DETAILS = {}
+
+
+def _record_details(name: str, times, batch_per_run: float, flop_count=None):
+    """Store spread (+ MFU when the FLOP count is while-free) for `name`."""
+    from ecnf_tpu.ops.flops import mfu
+
+    n_dev = jax.device_count()
+    rates = sorted((batch_per_run / t / n_dev for t in times), reverse=True)
+    det = {
+        "spread_min": round(rates[-1], 2),
+        "spread_median": round(rates[len(rates) // 2], 2),
+        "reps": len(rates),
+    }
+    if flop_count is not None:
+        u = mfu(flop_count, min(times), jax.devices()[0].device_kind,
+                n_devices=n_dev)
+        if u is not None:
+            det["mfu"] = round(u, 4)
+        det["tflops"] = round(flop_count.total / 1e12, 3)
+    DETAILS[name] = det
+
+
+def _count_flops(fn, *args):
+    """Abstract-trace FLOP count; never let accounting kill a benchmark."""
+    try:
+        from ecnf_tpu.ops.flops import count_fn_flops
+
+        return count_fn_flops(fn, *args)
+    except Exception as e:  # pragma: no cover - diagnostic only
+        print(f"flop count failed: {e}", file=sys.stderr)
+        return None
+
 
 def _baseline(task: str, method: str):
     if task == "lj13" and _BASELINE_ENV:
@@ -95,16 +141,17 @@ def _vs(per_chip: float, baseline) -> float:
 
 
 def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
-                        reps: int, label: str) -> float:
+                        reps: int, label: str, detail_name: str = None) -> float:
     """samples/s/chip for a mesh-sharded `sample_and_log_prob_cnf` solve."""
     from ecnf_tpu.cnf.sampling import sample_and_log_prob_cnf
     from ecnf_tpu.parallel.mesh import (
         get_mesh, data_sharded, replicated, pad_to_multiple,
     )
 
-    feats = jnp.zeros((2, n_nodes), dtype=jnp.int32)
-    x0 = jnp.zeros((2, n_nodes * 3))
-    params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats)
+    with host_tracing():  # flax init is eager — keep it off the tunnel
+        feats = jnp.zeros((2, n_nodes), dtype=jnp.int32)
+        x0 = jnp.zeros((2, n_nodes * 3))
+        params = cnf.init(jax.random.PRNGKey(0), x0, jnp.zeros(2), feats)
 
     # Shard the batch over all chips (same GSPMD pattern as the training
     # eval paths): on 1 chip this is a no-op; on a multi-chip host the
@@ -119,31 +166,47 @@ def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
         jnp.zeros((batch, n_nodes), dtype=jnp.int32), data_sharded(mesh)
     )
 
-    def run(key, feats_):
+    # Params enter as a runtime ARGUMENT, never a closure constant: captured
+    # params become XLA constants, and the constant zero-CoM trace basis then
+    # flows through constant weights into `dot(const, const)` instructions
+    # that XLA constant-folds in the slow HloEvaluator — measured at 233 s
+    # of the lj13[rk4] "compile" on TPU (docs/PERF.md "Compile-time
+    # anomaly"); passing params as an argument removes every fold.
+    def run(p, key, feats_):
         return sample_and_log_prob_cnf(
-            cnf, params, key, batch, features=feats_, approx=approx, cfg=cfg
+            cnf, p, key, batch, features=feats_, approx=approx, cfg=cfg
         )
 
     run_jit = jax.jit(
         run,
-        in_shardings=(replicated(mesh), data_sharded(mesh)),
+        in_shardings=(replicated(mesh), replicated(mesh), data_sharded(mesh)),
         out_shardings=replicated(mesh),
     )
 
     t0 = time.perf_counter()
-    out = run_jit(jax.random.PRNGKey(1), feats_b)
+    with host_tracing():  # trace-time constants stay off the tunnel
+        lowered = run_jit.lower(params, jax.random.PRNGKey(1), feats_b)
+    params = jax.device_put(params, replicated(mesh))  # once, not per call
+    t1 = time.perf_counter()
+    compiled = lowered.compile()
+    t2 = time.perf_counter()
+    out = compiled(params, jax.random.PRNGKey(1), feats_b)
     jax.block_until_ready(out)
-    print(f"{label}: compile+first run {time.perf_counter() - t0:.2f}s",
-          file=sys.stderr)
+    print(f"{label}: trace {t1 - t0:.2f}s compile {t2 - t1:.2f}s "
+          f"first run {time.perf_counter() - t2:.2f}s", file=sys.stderr)
 
+    keys = [jax.random.PRNGKey(2 + i) for i in range(reps)]  # not timed
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = run_jit(jax.random.PRNGKey(2 + i), feats_b)
+        out = compiled(params, keys[i], feats_b)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)
     per_chip = batch / best / jax.device_count()
+    if detail_name:
+        count = _count_flops(run, params, jax.random.PRNGKey(1), feats_b)
+        _record_details(detail_name, times, batch, count)
     print(
         f"{label}: device={jax.devices()[0].device_kind} batch={batch} "
         f"best={best * 1e3:.1f}ms -> {per_chip:.1f} samples/s/chip "
@@ -195,6 +258,7 @@ def bench_lj13(method: str, reps: int) -> float:
     return _sharded_solve_rate(
         _lj13_cnf(), n_nodes=13, batch=BATCH, cfg=_solve_cfg(method),
         approx=False, reps=reps, label=f"lj13[{method}]",
+        detail_name=f"lj13_{method}",
     )
 
 
@@ -208,6 +272,7 @@ def bench_qm9_sample_logprob(reps: int, method: str = "dopri5") -> float:
         _qm9_cnf(), n_nodes=19, batch=64,
         cfg=_solve_cfg(method, hutchinson_probes=4),
         approx=True, reps=reps, label=f"qm9[hutch4,{method}]",
+        detail_name=f"qm9_hutch4_{method}",
     )
 
 
@@ -228,37 +293,48 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
     cnf = _qm9_cnf()
     opt = build_optimizer(1e-4, use_schedule=False)
     rng = np.random.default_rng(0)
-    data = jnp.asarray(
-        rng.normal(size=(n_steps, batch, n_nodes * 3)).astype(np.float32)
-    )
-    feats = jnp.zeros((batch, n_nodes), dtype=jnp.int32)
-    state = init_training_state(
-        cnf, opt, jax.random.PRNGKey(0), data[0, :2], feats[:2], use_ema=True
-    )
-    update = make_update_fn(cnf, opt, use_ema=True)
+    with host_tracing():  # eager init + trace off the tunnel
+        data = jnp.asarray(
+            rng.normal(size=(n_steps, batch, n_nodes * 3)).astype(np.float32)
+        )
+        feats = jnp.zeros((batch, n_nodes), dtype=jnp.int32)
+        state = init_training_state(
+            cnf, opt, jax.random.PRNGKey(0), data[0, :2], feats[:2],
+            use_ema=True,
+        )
+        update = make_update_fn(cnf, opt, use_ema=True)
 
-    def run(st, xs):
-        def body(s, xb):
-            s2, info = update(s, xb, feats)
-            return s2, info["loss"]
-        st, losses = jax.lax.scan(body, st, xs)
-        return st, losses[-1]
+        def run(st, xs):
+            def body(s, xb):
+                s2, info = update(s, xb, feats)
+                return s2, info["loss"]
+            st, losses = jax.lax.scan(body, st, xs)
+            return st, losses[-1]
 
-    run_jit = jax.jit(run, donate_argnums=(0,))
+        count = _count_flops(run, state, data)  # abstract, pre-donation
+        run_jit = jax.jit(run, donate_argnums=(0,))
+        t_trace = time.perf_counter()
+        lowered = run_jit.lower(state, data)
+        t_trace = time.perf_counter() - t_trace
+    # Donation needs device-resident inputs matching the executable.
+    state, data, feats = jax.device_put((state, data, feats))
     t0 = time.perf_counter()
-    state, loss = run_jit(state, data)
+    compiled = lowered.compile()
+    t1 = time.perf_counter()
+    state, loss = compiled(state, data)
     jax.block_until_ready(loss)
-    print(f"qm9_train: compile+first run {time.perf_counter() - t0:.2f}s",
-          file=sys.stderr)
+    print(f"qm9_train: trace {t_trace:.2f}s compile {t1 - t0:.2f}s "
+          f"first run {time.perf_counter() - t1:.2f}s", file=sys.stderr)
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, loss = run_jit(state, data)
+        state, loss = compiled(state, data)
         jax.block_until_ready(loss)
         times.append(time.perf_counter() - t0)
     best = min(times)
     steps_s = n_steps / best / jax.device_count()
+    _record_details("qm9_train_step", times, n_steps, count)
     print(
         f"qm9_train: batch={batch} {best / n_steps * 1e3:.2f} ms/step -> "
         f"{steps_s:.1f} steps/s/chip",
@@ -275,10 +351,14 @@ def bench_train_step() -> None:
     n_nodes = 13
     cnf = _lj13_cnf()
     opt = build_optimizer(1e-4, use_schedule=False)
-    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, n_nodes * 3))
-    feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
-    state = init_training_state(cnf, opt, jax.random.PRNGKey(1), x[:2], feats[:2])
-    update = make_update_fn(cnf, opt)
+    with host_tracing():
+        x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, n_nodes * 3))
+        feats = jnp.zeros((BATCH, n_nodes), dtype=jnp.int32)
+        state = init_training_state(
+            cnf, opt, jax.random.PRNGKey(1), x[:2], feats[:2]
+        )
+        update = make_update_fn(cnf, opt)
+    x, feats, state = jax.device_put((x, feats, state))
 
     state, info = update(state, x, feats)
     jax.block_until_ready(info["loss"])
@@ -296,31 +376,40 @@ def bench_train_step() -> None:
     }))
 
 
+def _with_details(rec: dict, name: str) -> dict:
+    """Merge the measured spread/MFU side-channel for `name` into `rec`."""
+    rec.update(DETAILS.get(name, {}))
+    return rec
+
+
 def main() -> None:
     if TASK == "train_step":
         bench_train_step()
         return
     if TASK == "qm9_train_step":
         v = bench_qm9_train_step(reps=max(REPS, 3))
-        print(json.dumps({"metric": "qm9_train_step", "value": round(v, 1),
-                          "unit": "steps/s/chip", "vs_baseline": 0.0}))
+        print(json.dumps(_with_details({
+            "metric": "qm9_train_step", "value": round(v, 1),
+            "unit": "steps/s/chip",
+            "vs_baseline": _vs(v, _baseline("qm9_train_step", "")),
+        }, "qm9_train_step")))
         return
     if TASK == "qm9_sample_logprob":
         method = METHOD if METHOD in ("rk4", "dopri5") else "dopri5"
         v = bench_qm9_sample_logprob(reps=REPS, method=method)
-        print(json.dumps({
+        print(json.dumps(_with_details({
             "metric": "qm9_sample_logprob_hutch4", "value": round(v, 2),
             "unit": "samples/s/chip",
             "vs_baseline": _vs(v, _baseline("qm9_hutch4", method)),
-        }))
+        }, f"qm9_hutch4_{method}")))
         return
     if TASK == "lj13_sample_logprob" or not EXTRAS:
         v = bench_lj13(METHOD, reps=REPS)
-        print(json.dumps({
+        print(json.dumps(_with_details({
             "metric": "lj13_sample_with_exact_logprob", "value": round(v, 2),
             "unit": "samples/s/chip",
             "vs_baseline": _vs(v, _baseline("lj13", METHOD)),
-        }))
+        }, f"lj13_{METHOD}")))
         return
 
     # Default: the full suite, one JSON line (VERDICT r1 item 6).
@@ -330,42 +419,45 @@ def main() -> None:
     try:
         v = bench_lj13(parity_method, reps=3)
         extras[f"lj13_{parity_method}_reference_stepper"
-               if parity_method == "dopri5" else "lj13_rk4_tpu_native"] = {
-            "value": round(v, 2), "unit": "samples/s/chip",
-            "vs_baseline": _vs(v, _baseline("lj13", parity_method)),
-        }
+               if parity_method == "dopri5" else "lj13_rk4_tpu_native"] = \
+            _with_details({
+                "value": round(v, 2), "unit": "samples/s/chip",
+                "vs_baseline": _vs(v, _baseline("lj13", parity_method)),
+            }, f"lj13_{parity_method}")
     except Exception as e:  # pragma: no cover - keep the headline alive
         print(f"lj13[{parity_method}] extra failed: {e}", file=sys.stderr)
     try:
         v = bench_qm9_sample_logprob(reps=3)
-        extras["qm9_sample_logprob_hutch4"] = {
+        extras["qm9_sample_logprob_hutch4"] = _with_details({
             "value": round(v, 2), "unit": "samples/s/chip",
             "vs_baseline": _vs(v, _baseline("qm9_hutch4", "dopri5")),
-        }
+        }, "qm9_hutch4_dopri5")
     except Exception as e:  # pragma: no cover
         print(f"qm9 sampling extra failed: {e}", file=sys.stderr)
     try:
         v = bench_qm9_sample_logprob(reps=3, method="rk4")
-        extras["qm9_sample_logprob_hutch4_rk4"] = {
+        extras["qm9_sample_logprob_hutch4_rk4"] = _with_details({
             "value": round(v, 2), "unit": "samples/s/chip",
             "vs_baseline": _vs(v, _baseline("qm9_hutch4", "rk4")),
-        }
+        }, "qm9_hutch4_rk4")
     except Exception as e:  # pragma: no cover
         print(f"qm9 rk4 sampling extra failed: {e}", file=sys.stderr)
     try:
         v = bench_qm9_train_step(reps=3)
-        extras["qm9_train_step"] = {"value": round(v, 1),
-                                    "unit": "steps/s/chip"}
+        extras["qm9_train_step"] = _with_details({
+            "value": round(v, 1), "unit": "steps/s/chip",
+            "vs_baseline": _vs(v, _baseline("qm9_train_step", "")),
+        }, "qm9_train_step")
     except Exception as e:  # pragma: no cover
         print(f"qm9 train extra failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    print(json.dumps(_with_details({
         "metric": "lj13_sample_with_exact_logprob",
         "value": round(headline, 2),
         "unit": "samples/s/chip",
         "vs_baseline": _vs(headline, _baseline("lj13", METHOD)),
         "extras": extras,
-    }))
+    }, f"lj13_{METHOD}")))
 
 
 if __name__ == "__main__":

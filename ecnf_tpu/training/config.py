@@ -98,6 +98,11 @@ class TargetConfig:
     train_path: Optional[str] = None
     test_path: Optional[str] = None
     valid_path: Optional[str] = None
+    # Frames to drop from the head of the valid/test files before slicing —
+    # carves disjoint splits when all three paths point at one trajectory
+    # file (the shipped reference `aldp.yaml` does exactly that).
+    valid_skip: int = 0
+    test_skip: int = 0
 
 
 @dataclass

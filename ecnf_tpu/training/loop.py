@@ -25,6 +25,7 @@ from ecnf_tpu.training.checkpoints import (
     save_checkpoint,
     restore_checkpoint,
 )
+from ecnf_tpu.utils.host_trace import host_tracing
 
 TrainingStateT = Any
 InitStateFn = Callable[[jax.Array], TrainingStateT]
@@ -100,7 +101,13 @@ def run_training(config: TrainConfig):
 
     key = jax.random.PRNGKey(config.seed)
     key, subkey = jax.random.split(key)
-    state = config.init_state(subkey)
+    # Flax init is eager; on a tunneled backend every op would round-trip
+    # the tunnel (measured ~50 s for the LJ13 net).  The update/eval jits
+    # all carry explicit shardings (`training/setup.py`), so pinning eager
+    # work to the host cpu never moves compiled programs off the mesh.
+    with host_tracing():
+        state = config.init_state(subkey)
+    state = jax.device_put(state)  # default device (the mesh's platform)
 
     start_iter = 0
     if config.resume and checkpoints_dir is not None:
@@ -114,7 +121,8 @@ def run_training(config: TrainConfig):
 
     if start_iter == 0 and config.eval_and_plot_fn is not None:
         key, subkey = jax.random.split(key)
-        eval_info = config.eval_and_plot_fn(state, subkey, -1, config.save, plots_dir)
+        with host_tracing():
+            eval_info = config.eval_and_plot_fn(state, subkey, -1, config.save, plots_dir)
         eval_info.update(iteration=-1)
         config.logger.write(eval_info)
         print(f"initial model eval complete, eval info: \n {eval_info}")
@@ -168,14 +176,19 @@ def run_training(config: TrainConfig):
                 ),
             )
 
+        # host_tracing: first call per distinct program traces here; eager
+        # trace constants stay off the tunnel (no-op on local backends, and
+        # placement is pinned by the jits' explicit shardings).
         if k > 1:
-            state, infos = config.update_state_multi(state, k)
+            with host_tracing():
+                state, infos = config.update_state_multi(state, k)
             for j in range(k):
                 _write_epoch_info(
                     jax.tree_util.tree_map(lambda x: x[j], infos), iteration + j
                 )
         else:
-            state, info = config.update_state(state)
+            with host_tracing():
+                state, info = config.update_state(state)
             _write_epoch_info(info, iteration)
 
         iteration_end = iteration + k - 1
@@ -188,9 +201,10 @@ def run_training(config: TrainConfig):
 
         if config.eval_and_plot_fn is not None and iteration_end in eval_iter:
             key, subkey = jax.random.split(key)
-            eval_info = config.eval_and_plot_fn(
-                state, subkey, iteration_end, config.save, plots_dir
-            )
+            with host_tracing():
+                eval_info = config.eval_and_plot_fn(
+                    state, subkey, iteration_end, config.save, plots_dir
+                )
             eval_info.update(iteration=iteration_end)
             print(str(eval_info))
             config.logger.write(eval_info)

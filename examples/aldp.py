@@ -16,12 +16,16 @@ def load_dataset(
     train_path: str,
     test_path: str,
     valid_path: str,
+    valid_skip: int = 0,
+    test_skip: int = 0,
 ) -> Tuple[FullGraphSample, FullGraphSample]:
     train_data, valid_data, test_data = load_aldp(
         train_path=train_path,
         test_path=test_path,
         val_path=valid_path,
         train_n_points=train_set_size,
+        val_skip_n=valid_skip,
+        test_skip_n=test_skip,
     )
     if not final_run:
         return train_data, valid_data[:valid_set_size]
@@ -37,6 +41,10 @@ def run(cfg):
             test_path=cfg.target.test_path,
             valid_path=cfg.target.valid_path,
             final_run=cfg.training.final_run,
+            # Optional frame offsets: carve disjoint eval splits out of a
+            # single trajectory file (the only-mini-h5 container case).
+            valid_skip=cfg.target.valid_skip,
+            test_skip=cfg.target.test_skip,
         ),
     )
     run_training(train_config)

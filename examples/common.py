@@ -15,6 +15,13 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(_REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(_REPO_ROOT))
 
+# Tunneled-TPU processes get a host cpu backend for trace-time eager ops
+# (utils/host_trace.py; saves minutes of cold-start per CLI run).  Must
+# happen before jax initializes its backends.
+from ecnf_tpu.utils.host_trace import ensure_host_cpu_backend
+
+ensure_host_cpu_backend()
+
 from ecnf_tpu.training.config import ExperimentConfig, load_config
 
 CONFIG_DIR = Path(__file__).resolve().parent / "configs"

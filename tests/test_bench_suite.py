@@ -119,19 +119,23 @@ class TestSuiteMode:
 
 class TestSingleTasks:
     def test_qm9_sample_task(self, monkeypatch, capsys):
+        # The single task dispatches the env-selected METHOD (rk4 default)
+        # and must quote the baseline for that same method.
         mod = _reload(monkeypatch, ECNF_BENCH_TASK="qm9_sample_logprob")
         _fake_rates(mod, monkeypatch, qm9=30.0)
         rec = _run_main(mod, capsys)
         assert rec["metric"] == "qm9_sample_logprob_hutch4"
-        base = mod.CPU_BASELINES[("qm9_hutch4", "dopri5")]
+        base = mod.CPU_BASELINES[("qm9_hutch4", mod.METHOD)]
         assert rec["vs_baseline"] == round(30.0 / base, 2)
 
     def test_qm9_train_task(self, monkeypatch, capsys):
         mod = _reload(monkeypatch, ECNF_BENCH_TASK="qm9_train_step")
         _fake_rates(mod, monkeypatch, train=88.0)
         rec = _run_main(mod, capsys)
+        base = mod.CPU_BASELINES[("qm9_train_step", "")]
         assert rec == {"metric": "qm9_train_step", "value": 88.0,
-                       "unit": "steps/s/chip", "vs_baseline": 0.0}
+                       "unit": "steps/s/chip",
+                       "vs_baseline": round(88.0 / base, 2)}
 
     def test_headline_env_override(self, monkeypatch, capsys):
         mod = _reload(monkeypatch, ECNF_BENCH_TASK="lj13_sample_logprob",
@@ -141,12 +145,68 @@ class TestSingleTasks:
         assert rec["vs_baseline"] == 50.0
 
 
+class TestDetailsSideChannel:
+    def test_spread_and_mfu_merged_into_json(self, monkeypatch, capsys):
+        """VERDICT r2 items 7-8: run-to-run spread and MFU ride in the
+        same JSON line, attached to the metric they describe."""
+        mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite")
+        _fake_rates(mod, monkeypatch, lj13=300.0)
+        mod.DETAILS["lj13_rk4"] = {"spread_min": 290.0,
+                                   "spread_median": 295.0,
+                                   "reps": 5, "mfu": 0.31, "tflops": 1.2}
+        mod.DETAILS["qm9_train_step"] = {"spread_min": 90.0,
+                                         "spread_median": 93.0, "reps": 3}
+        rec = _run_main(mod, capsys)
+        assert rec["spread_min"] == 290.0
+        assert rec["spread_median"] == 295.0
+        assert rec["mfu"] == 0.31
+        assert rec["value"] == 300.0  # best-of-reps stays the headline value
+        train = rec["extras"]["qm9_train_step"]
+        assert train["spread_median"] == 93.0
+
+    def test_record_details_math(self, monkeypatch):
+        """spread = rates from the rep times; MFU only for while-free
+        counts on a known device."""
+        from ecnf_tpu.ops.flops import FlopCount, PEAKS
+
+        import jax
+
+        mod = _reload(monkeypatch)
+        n_dev = jax.device_count()
+        # 3 reps at 1.0/2.0/4.0 s for 48 samples; rates are per-chip.
+        mod._record_details("t", [2.0, 1.0, 4.0], 48.0,
+                            FlopCount(bf16=0.0, f32=1e12))
+        det = mod.DETAILS["t"]
+        assert det["spread_min"] == round(48.0 / 4.0 / n_dev, 2)   # worst rep
+        assert det["spread_median"] == round(48.0 / 2.0 / n_dev, 2)
+        assert det["reps"] == 3
+        assert det["tflops"] == 1.0
+        # Host CPU has no PEAKS entry -> no mfu key, but spread still there.
+        import jax
+        if jax.devices()[0].device_kind not in PEAKS:
+            assert "mfu" not in det
+
+    def test_while_loop_count_suppresses_mfu(self, monkeypatch):
+        import jax
+
+        from ecnf_tpu.ops.flops import FlopCount
+
+        mod = _reload(monkeypatch)
+        mod._record_details("t2", [1.0], 48.0,
+                            FlopCount(bf16=1e12, f32=0.0, has_while=True))
+        assert "mfu" not in mod.DETAILS["t2"]
+        assert mod.DETAILS["t2"]["spread_min"] == round(
+            48.0 / jax.device_count(), 2
+        )
+
+
 class TestBaselineTable:
     def test_all_dispatched_tasks_have_baselines(self):
         """Every (task, method) the suite quotes a ratio for must exist in
         the measured table; a missing entry silently reports 0.0."""
         for key in [("lj13", "rk4"), ("lj13", "dopri5"),
-                    ("qm9_hutch4", "dopri5"), ("qm9_hutch4", "rk4")]:
+                    ("qm9_hutch4", "dopri5"), ("qm9_hutch4", "rk4"),
+                    ("qm9_train_step", "")]:
             assert key in bench.CPU_BASELINES
             assert bench.CPU_BASELINES[key] > 0
 

@@ -125,6 +125,35 @@ class TestALDPLoader:
             np.asarray(train.features[0, :, 0]), np.arange(22)
         )
 
+    def test_skip_carves_disjoint_splits(self):
+        """val/test_skip_n drop leading frames so one trajectory file can
+        serve disjoint train/test splits (examples/configs/aldp_soak.yaml)."""
+        from pathlib import Path
+
+        from ecnf_tpu.targets.data import load_aldp
+
+        path = Path(__file__).resolve().parent.parent / "data" / "aldp_500K_train_mini.h5"
+        if not path.exists():
+            pytest.skip("aldp h5 not present")
+        p = str(path)
+        train, valid, test = load_aldp(
+            train_path=p, val_path=p, test_path=p,
+            train_n_points=50, val_n_points=30, test_n_points=30,
+            val_skip_n=50, test_skip_n=80,
+        )
+        full, _, _ = load_aldp(train_path=p, train_n_points=110)
+        np.testing.assert_array_equal(
+            np.asarray(valid.positions), np.asarray(full.positions[50:80])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(test.positions), np.asarray(full.positions[80:110])
+        )
+        # Train (prefix) and test (skipped) share no frames.
+        assert not np.isin(
+            np.asarray(test.positions).reshape(30, -1).sum(axis=1),
+            np.asarray(train.positions).reshape(50, -1).sum(axis=1),
+        ).any()
+
 
 class TestEdgeList:
     def test_sender_receiver_pattern(self):
