@@ -316,8 +316,8 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
         t_trace = time.perf_counter()
         lowered = run_jit.lower(state, data)
         t_trace = time.perf_counter() - t_trace
-    # Donation needs device-resident inputs matching the executable.
-    state, data, feats = jax.device_put((state, data, feats))
+    # Donation needs device-resident (committed) inputs.
+    state, data, feats = jax.device_put((state, data, feats), jax.devices()[0])
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t1 = time.perf_counter()
@@ -358,7 +358,7 @@ def bench_train_step() -> None:
             cnf, opt, jax.random.PRNGKey(1), x[:2], feats[:2]
         )
         update = make_update_fn(cnf, opt)
-    x, feats, state = jax.device_put((x, feats, state))
+    x, feats, state = jax.device_put((x, feats, state), jax.devices()[0])
 
     state, info = update(state, x, feats)
     jax.block_until_ready(info["loss"])

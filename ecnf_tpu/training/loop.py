@@ -107,7 +107,9 @@ def run_training(config: TrainConfig):
     # work to the host cpu never moves compiled programs off the mesh.
     with host_tracing():
         state = config.init_state(subkey)
-    state = jax.device_put(state)  # default device (the mesh's platform)
+    # Commit to the accelerator (device_put without a device does NOT
+    # commit); the first sharded update re-distributes across the mesh.
+    state = jax.device_put(state, jax.devices()[0])
 
     start_iter = 0
     if config.resume and checkpoints_dir is not None:

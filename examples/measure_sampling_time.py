@@ -14,6 +14,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import argparse
 import time
 
+from ecnf_tpu.utils.host_trace import ensure_host_cpu_backend, host_tracing
+
+ensure_host_cpu_backend()  # before jax backend init (utils/host_trace.py)
+
 import jax
 import jax.numpy as jnp
 
@@ -72,13 +76,14 @@ def main():
         time_embedding_dim=8,
         n_features=1,
     )
-    feats = jnp.zeros((args.batch_size, n_nodes), dtype=jnp.int32)
-    params = cnf.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, n_nodes * dim)),
-        jnp.zeros(2),
-        feats[:2],
-    )
+    with host_tracing():  # eager init off the tunnel
+        feats = jnp.zeros((args.batch_size, n_nodes), dtype=jnp.int32)
+        params = cnf.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, n_nodes * dim)),
+            jnp.zeros(2),
+            feats[:2],
+        )
 
     latest = get_latest_checkpoint(args.checkpoint_dir)
     if latest is not None:
@@ -89,18 +94,27 @@ def main():
         print("no checkpoint found; timing a randomly initialized model")
 
     cfg = SolveConfig()
+    # Params as a runtime argument + host-side tracing: see docs/PERF.md
+    # "Compile-time anomaly, diagnosed".
     fn = jax.jit(
-        lambda key: sample_cnf(cnf, params, key, args.batch_size, feats, cfg)
+        lambda p, key: sample_cnf(cnf, p, key, args.batch_size, feats, cfg)
     )
 
+    # Commit params to the accelerator BEFORE lowering: this jit has no
+    # explicit shardings, so placement follows the (committed) args.
+    params = jax.device_put(params, jax.devices()[0])
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(jax.random.PRNGKey(1)))
-    print(f"compile + first run: {time.perf_counter() - t0:.2f}s")
+    with host_tracing():
+        compiled = fn.lower(params, jax.random.PRNGKey(1)).compile()
+    t1 = time.perf_counter()
+    jax.block_until_ready(compiled(params, jax.random.PRNGKey(1)))
+    print(f"trace+compile: {t1 - t0:.2f}s, first run: "
+          f"{time.perf_counter() - t1:.2f}s")
 
     times = []
     for i in range(args.reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(jax.random.PRNGKey(2 + i)))
+        jax.block_until_ready(compiled(params, jax.random.PRNGKey(2 + i)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(

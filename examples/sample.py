@@ -31,6 +31,7 @@ from ecnf_tpu.cnf.sampling import SolveConfig, sample_cnf, sample_and_log_prob_c
 from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
 from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_serving_params
 from ecnf_tpu.training.config import load_config
+from ecnf_tpu.utils.host_trace import host_tracing
 
 
 def main():
@@ -84,10 +85,11 @@ def main():
         stable_mlp=net_cfg.stable_mlp,
         compute_dtype=net_cfg.compute_dtype,
     )
-    x0 = jnp.zeros((2, n_nodes * dim))
-    params = cnf.init(
-        jax.random.PRNGKey(0), x0, jnp.zeros(2), jnp.tile(feats_row, (2, 1))
-    )
+    with host_tracing():  # eager init off the tunnel (utils/host_trace.py)
+        x0 = jnp.zeros((2, n_nodes * dim))
+        params = cnf.init(
+            jax.random.PRNGKey(0), x0, jnp.zeros(2), jnp.tile(feats_row, (2, 1))
+        )
     latest = get_latest_checkpoint(args.checkpoint_dir)
     if latest is None:
         raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
@@ -112,36 +114,37 @@ def main():
     )
     fb = jnp.tile(feats_row, (B, 1))
 
+    # Params enter as a runtime argument (a closure capture would embed them
+    # as XLA constants — slow HloEvaluator folds, docs/PERF.md), and the
+    # trace runs under host_tracing so its eager ops skip the tunnel.
     if args.with_log_prob:
         fn = jax.jit(
-            lambda key: sample_and_log_prob_cnf(
-                cnf, params, key, B, features=fb, approx=args.approx, cfg=solve_cfg
+            lambda p, key: sample_and_log_prob_cnf(
+                cnf, p, key, B, features=fb, approx=args.approx, cfg=solve_cfg
             ),
-            in_shardings=(replicated(mesh),),
+            in_shardings=(replicated(mesh), replicated(mesh)),
             out_shardings=(data_sharded(mesh), data_sharded(mesh)),
         )
     else:
         fn = jax.jit(
-            lambda key: sample_cnf(cnf, params, key, B, features=fb, cfg=solve_cfg),
-            in_shardings=(replicated(mesh),),
+            lambda p, key: sample_cnf(cnf, p, key, B, features=fb, cfg=solve_cfg),
+            in_shardings=(replicated(mesh), replicated(mesh)),
             out_shardings=data_sharded(mesh),
         )
+    t_start = time.perf_counter()
+    with host_tracing():
+        compiled = fn.lower(params, jax.random.PRNGKey(0)).compile()
+    params = jax.device_put(params, replicated(mesh))
+    startup_s = time.perf_counter() - t_start
 
     key = jax.random.PRNGKey(args.seed)
     n = args.n_samples
     samples = np.empty((n, n_nodes * dim), np.float32)
     log_q = np.empty((n,), np.float32) if args.with_log_prob else None
-    t_start = time.perf_counter()
-    t0 = first_batch_s = None
+    t0 = time.perf_counter()
     for start in range(0, n, B):
         key, sub = jax.random.split(key)
-        out = jax.block_until_ready(fn(sub))
-        if t0 is None:
-            # The first batch includes the jit compile; report it separately
-            # so the steady-state rate is meaningful (reference
-            # `load_checkpoint_measure_sampling_time.py:108-119` semantics).
-            t0 = time.perf_counter()
-            first_batch_s = t0 - t_start
+        out = jax.block_until_ready(compiled(params, sub))
         take = min(B, n - start)
         if args.with_log_prob:
             samples[start : start + take] = np.asarray(out[0])[:take]
@@ -170,11 +173,10 @@ def main():
             f", mean log q {log_q.mean():.4f} "
             f"({'Hutchinson' if args.approx else 'exact'} trace)"
         )
-    n_steady = max(n - B, 0)
-    rate = f", {n_steady / dt:.1f}/s steady-state" if n_steady and dt > 0 else ""
+    rate = f", {n / dt:.1f}/s" if dt > 0 else ""
     print(
-        f"sampled {n} configurations: first batch {first_batch_s:.1f}s "
-        f"(incl. compile){rate}, {n_dev} device(s){extra}"
+        f"sampled {n} configurations: trace+compile {startup_s:.1f}s"
+        f"{rate}, {n_dev} device(s){extra}"
     )
     if args.output:
         np.save(args.output, samples.reshape(n, n_nodes, dim))

@@ -32,6 +32,7 @@ from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob
 from ecnf_tpu.parallel.mesh import get_mesh, data_sharded, replicated, pad_to_multiple
 from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_serving_params
 from ecnf_tpu.training.config import load_config
+from ecnf_tpu.utils.host_trace import host_tracing
 
 
 def main():
@@ -86,9 +87,10 @@ def main():
         stable_mlp=net_cfg.stable_mlp,
         compute_dtype=net_cfg.compute_dtype,
     )
-    params = cnf.init(
-        jax.random.PRNGKey(0), x[:2], jnp.zeros(2), jnp.tile(feats_row, (2, 1))
-    )
+    with host_tracing():  # eager init off the tunnel (utils/host_trace.py)
+        params = cnf.init(
+            jax.random.PRNGKey(0), x[:2], jnp.zeros(2), jnp.tile(feats_row, (2, 1))
+        )
     latest = get_latest_checkpoint(args.checkpoint_dir)
     if latest is None:
         raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
@@ -112,13 +114,24 @@ def main():
         hutchinson_probes=cfg.training.hutchinson_probes,
     )
 
+    # Params as a runtime argument + host_tracing around the trace: see
+    # docs/PERF.md "Compile-time anomaly, diagnosed".
     score = jax.jit(
-        lambda xb, key, fb: get_log_prob(
-            cnf, params, xb, key, fb, approx=args.approx, cfg=solve_cfg
+        lambda p, xb, key, fb: get_log_prob(
+            cnf, p, xb, key, fb, approx=args.approx, cfg=solve_cfg
         )[0],
-        in_shardings=(data_sharded(mesh), replicated(mesh), data_sharded(mesh)),
+        in_shardings=(replicated(mesh), data_sharded(mesh), replicated(mesh),
+                      data_sharded(mesh)),
         out_shardings=data_sharded(mesh),
     )
+    fb = jnp.tile(feats_row, (B, 1))
+    t0 = time.perf_counter()
+    with host_tracing():
+        score_c = score.lower(
+            params, jnp.zeros((B, x.shape[1]), x.dtype), jax.random.PRNGKey(0), fb
+        ).compile()
+    params = jax.device_put(params, replicated(mesh))
+    print(f"trace+compile {time.perf_counter() - t0:.1f}s")
 
     key = jax.random.PRNGKey(args.seed)
     n = x.shape[0]
@@ -129,9 +142,8 @@ def main():
         pad = B - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.zeros((pad, chunk.shape[1]))], 0)
-        fb = jnp.tile(feats_row, (B, 1))
         key, sub = jax.random.split(key)
-        lp = np.asarray(jax.block_until_ready(score(chunk, sub, fb)))
+        lp = np.asarray(jax.block_until_ready(score_c(params, chunk, sub, fb)))
         out[start : start + B - pad] = lp[: B - pad]
     dt = time.perf_counter() - t0
 

@@ -21,6 +21,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from ecnf_tpu.utils.host_trace import ensure_host_cpu_backend, host_tracing
+
+ensure_host_cpu_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +35,21 @@ from ecnf_tpu.ops.divergence import (
     zero_com_trace_basis,
 )
 
-B, N, DIM = 256, 13, 3
-D = N * DIM
+# Scales: the headline LJ13 shape and the flagship QM9 shape
+# (VERDICT r2 item 7: confirm the "mined out" verdict transfers).
+SCALES = {
+    "lj13": dict(B=256, N=13, n_blocks=3, mlp_units=(128, 128, 128),
+                 hidden=64, ks=(0, 1, 2, 4, 8, 16, 36)),
+    "qm9": dict(B=64, N=19, n_blocks=5, mlp_units=(256, 256, 256, 256),
+                hidden=32, ks=(0, 1, 2, 4, 8, 16, 54)),
+}
+DIM = 3
 S = 20  # stages per dispatch: amortizes the ~28 ms tunnel latency
 
 
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
+    with host_tracing():  # args are device-committed; placement unaffected
+        out = fn(*args)
     jax.block_until_ready(out)
     ts = []
     for _ in range(reps):
@@ -62,22 +74,27 @@ def scan_stages(stage):
     return jax.jit(lambda x: jax.lax.scan(step, x, None, length=S)[0])
 
 
-def study(compute_dtype, tangent=False):
+def study(compute_dtype, tangent=False, scale="lj13"):
+    sc = SCALES[scale]
+    B, N = sc["B"], sc["N"]
+    D = N * DIM
     cnf = build_cnf(
         n_frames=N, dim=DIM, sigma_min=0.01, base_scale=1.0,
-        n_blocks_egnn=3, mlp_units=(128, 128, 128),
-        n_invariant_feat_hidden=64, time_embedding_dim=8, n_features=1,
-        compute_dtype=compute_dtype,
+        n_blocks_egnn=sc["n_blocks"], mlp_units=sc["mlp_units"],
+        n_invariant_feat_hidden=sc["hidden"], time_embedding_dim=8,
+        n_features=1, compute_dtype=compute_dtype,
     )
-    feats = jnp.zeros((B, N), dtype=jnp.int32)
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, D))
-    t = jnp.full((B,), 0.5)
-    params = cnf.init(jax.random.PRNGKey(1), x[:2], t[:2], feats[:2])
+    with host_tracing():  # eager init off the tunnel
+        feats = jnp.zeros((B, N), dtype=jnp.int32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, D))
+        t = jnp.full((B,), 0.5)
+        params = cnf.init(jax.random.PRNGKey(1), x[:2], t[:2], feats[:2])
+    x, t, feats, params = jax.device_put((x, t, feats, params))
     f = lambda xb: cnf.apply(params, xb, t, feats)
-    full_basis = zero_com_trace_basis(N, DIM)  # [36, D]
+    full_basis = zero_com_trace_basis(N, DIM)  # [N*DIM - DIM, D]
 
     ks, times = [], []
-    for k in (0, 1, 2, 4, 8, 16, 36):
+    for k in sc["ks"]:
         if k == 0:
             stage = lambda xb: (f(xb), jnp.zeros(xb.shape[0], xb.dtype))
         elif tangent:
@@ -85,8 +102,9 @@ def study(compute_dtype, tangent=False):
 
             basis = full_basis[:k]
             stage = lambda xb, b=basis: egnn_value_and_trace(
-                params, xb, t, feats, b, n_nodes=N, dim=DIM, n_blocks=3,
-                mlp_units=(128,) * 3, time_embedding_dim=8,
+                params, xb, t, feats, b, n_nodes=N, dim=DIM,
+                n_blocks=sc["n_blocks"], mlp_units=sc["mlp_units"],
+                time_embedding_dim=8,
                 compute_dtype=compute_dtype, use_kernel=False,
             )
         else:
@@ -94,7 +112,8 @@ def study(compute_dtype, tangent=False):
             stage = lambda xb, b=basis: value_and_exact_divergence(f, xb, basis=b)
         dt = timeit(scan_stages(stage), x) / S
         label = "tangent" if tangent else "linearize"
-        print(f"[{compute_dtype} {label}] K={k:2d}: {dt*1e3:7.2f} ms/stage")
+        print(f"[{scale} {compute_dtype} {label}] K={k:2d}: {dt*1e3:7.2f} ms/stage",
+              flush=True)
         ks.append(float(k))
         times.append(dt)
 
@@ -105,7 +124,7 @@ def study(compute_dtype, tangent=False):
     resid = ts_f - (intercept + slope * ks_f)
     label = "tangent" if tangent else "linearize"
     print(
-        f"[{compute_dtype} {label}] fit (K>=1): intercept {intercept*1e3:.2f} ms, "
+        f"[{scale} {compute_dtype} {label}] fit (K>=1): intercept {intercept*1e3:.2f} ms, "
         f"slope {slope*1e3:.3f} ms/col, max resid {np.abs(resid).max()*1e3:.2f} ms; "
         f"forward-only {times[0]*1e3:.2f} ms"
     )
@@ -119,10 +138,11 @@ def main():
     p.add_argument("--tangent", action="store_true",
                    help="decompose the structured hand-tangent path instead")
     p.add_argument("--dtypes", nargs="*", default=["float32", "bfloat16"])
+    p.add_argument("--scale", default="lj13", choices=sorted(SCALES))
     args = p.parse_args()
     res = {}
     for dtype in args.dtypes:
-        res[dtype] = study(dtype, tangent=args.tangent)
+        res[dtype] = study(dtype, tangent=args.tangent, scale=args.scale)
     if "float32" in res and "bfloat16" in res:
         i32, s32 = res["float32"]
         i16, s16 = res["bfloat16"]
@@ -130,9 +150,10 @@ def main():
             f"\nbf16/f32 slope ratio {s16/s32:.2f} (FLOP-bound would be ~0.5); "
             f"bf16/f32 intercept ratio {i16/i32:.2f}"
         )
+        kmax = SCALES[args.scale]["ks"][-1]
         print(
-            f"at K=36: intercept share f32 {i32/(i32+36*s32)*100:.0f}%, "
-            f"bf16 {i16/(i16+36*s16)*100:.0f}%"
+            f"at K={kmax}: intercept share f32 {i32/(i32+kmax*s32)*100:.0f}%, "
+            f"bf16 {i16/(i16+kmax*s16)*100:.0f}%"
         )
 
 
