@@ -56,14 +56,18 @@ from ecnf_tpu.utils.compile_cache import enable_persistent_compilation_cache
 enable_persistent_compilation_cache()
 
 # Host-CPU baselines for vs_baseline, measured on this machine with the
-# identical programs (PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu, batch 48,
-# bf16, best rep; 2026-08-20).  Keyed by (task, method) so the ratio always
-# compares like with like (ADVICE r1: the old constant 0.25 was measured
-# with dopri5/batch 16 and overstated the rk4 speedup).
+# identical programs (PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu, bf16, best
+# rep).  Keyed by (task, method) so the ratio always compares like with
+# like (ADVICE r1).  Every entry is FLOP-AUDITED against the jaxpr count
+# (`ops/flops.py`): rate x TFLOP/run must not exceed this 2-core host's
+# ~0.15 TFLOP/s matmul ceiling.  The round-2 qm9 entry (2.88) failed that
+# audit by 20x and was re-measured 2026-08-21 (BASELINE.md "Correction").
 CPU_BASELINES = {
-    ("lj13", "rk4"): 0.53,      # samples/s, re-measured 2026-08-20
-    ("lj13", "dopri5"): 0.36,   # samples/s, re-measured 2026-08-20
-    ("qm9_hutch4", "dopri5"): 2.88,  # samples/s, re-measured 2026-08-20
+    ("lj13", "rk4"): 0.53,      # samples/s; 12.8 TF/run -> 0.141 TF/s OK
+    ("lj13", "dopri5"): 0.36,   # samples/s; 19.4 TF/run -> 0.145 TF/s OK
+    ("qm9_hutch4", "dopri5"): 0.14,  # samples/s; 66.4 TF/run (2026-08-21)
+    ("qm9_hutch4", "rk4"): 0.25,     # samples/s; 43.9 TF/run (2026-08-21)
+    ("qm9_train_step", ""): 0.03,    # steps/s, batch 256 (2026-08-21)
 }
 
 BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "48"))
