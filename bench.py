@@ -65,7 +65,7 @@ enable_persistent_compilation_cache()
 CPU_BASELINES = {
     ("lj13", "rk4"): 0.53,      # samples/s; 12.8 TF/run -> 0.141 TF/s OK
     ("lj13", "dopri5"): 0.36,   # samples/s; 19.4 TF/run -> 0.145 TF/s OK
-    ("qm9_hutch4", "dopri5"): 0.14,  # samples/s; 66.4 TF/run (2026-08-21)
+    ("qm9_hutch4", "dopri5"): 0.15,  # samples/s; 66.4 TF/run (2026-08-21)
     ("qm9_hutch4", "rk4"): 0.25,     # samples/s; 43.9 TF/run (2026-08-21)
     ("qm9_train_step", ""): 0.03,    # steps/s, batch 256 (2026-08-21)
 }
