@@ -118,7 +118,15 @@ def _record_details(name: str, times, batch_per_run: float, flop_count=None):
                 n_devices=n_dev)
         if u is not None:
             det["mfu"] = round(u, 4)
-        det["tflops"] = round(flop_count.total / 1e12, 3)
+        if flop_count.has_while:
+            # Adaptive solves trace a ONE-trip while body; the real run
+            # executes an unknown trip count, so a plain "tflops" key would
+            # massively understate the work (ADVICE r3).  Name it so no
+            # consumer mistakes it for a full-run count (mfu is already
+            # suppressed by `mfu()` in this case).
+            det["tflops_one_trip"] = round(flop_count.total / 1e12, 3)
+        else:
+            det["tflops"] = round(flop_count.total / 1e12, 3)
     DETAILS[name] = det
 
 
@@ -317,11 +325,17 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
 
         count = _count_flops(run, state, data)  # abstract, pre-donation
         run_jit = jax.jit(run, donate_argnums=(0,))
-        t_trace = time.perf_counter()
-        lowered = run_jit.lower(state, data)
-        t_trace = time.perf_counter() - t_trace
-    # Donation needs device-resident (committed) inputs.
+    # Commit the inputs to the accelerator BEFORE lowering: jit reads the
+    # committed device of its arguments, so lowering against host-resident
+    # arrays bakes CPU shardings into the executable and the TPU-resident
+    # arrays passed later fail its input check (the round-3 bench crash —
+    # `BENCH_r03.json` lost this metric).  Donation also needs committed
+    # inputs.  Same AOT pattern as `__graft_entry__.py`.
     state, data, feats = jax.device_put((state, data, feats), jax.devices()[0])
+    t_trace = time.perf_counter()
+    with host_tracing():  # eager trace-time constants still stay off the tunnel
+        lowered = run_jit.lower(state, data)
+    t_trace = time.perf_counter() - t_trace
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t1 = time.perf_counter()
@@ -420,40 +434,44 @@ def main() -> None:
     headline = bench_lj13(METHOD, reps=REPS)
     extras = {}
     parity_method = "dopri5" if METHOD == "rk4" else "rk4"
-    try:
-        v = bench_lj13(parity_method, reps=3)
-        extras[f"lj13_{parity_method}_reference_stepper"
-               if parity_method == "dopri5" else "lj13_rk4_tpu_native"] = \
-            _with_details({
-                "value": round(v, 2), "unit": "samples/s/chip",
-                "vs_baseline": _vs(v, _baseline("lj13", parity_method)),
-            }, f"lj13_{parity_method}")
-    except Exception as e:  # pragma: no cover - keep the headline alive
-        print(f"lj13[{parity_method}] extra failed: {e}", file=sys.stderr)
-    try:
-        v = bench_qm9_sample_logprob(reps=3)
-        extras["qm9_sample_logprob_hutch4"] = _with_details({
-            "value": round(v, 2), "unit": "samples/s/chip",
-            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "dopri5")),
-        }, "qm9_hutch4_dopri5")
-    except Exception as e:  # pragma: no cover
-        print(f"qm9 sampling extra failed: {e}", file=sys.stderr)
-    try:
-        v = bench_qm9_sample_logprob(reps=3, method="rk4")
-        extras["qm9_sample_logprob_hutch4_rk4"] = _with_details({
-            "value": round(v, 2), "unit": "samples/s/chip",
-            "vs_baseline": _vs(v, _baseline("qm9_hutch4", "rk4")),
-        }, "qm9_hutch4_rk4")
-    except Exception as e:  # pragma: no cover
-        print(f"qm9 rk4 sampling extra failed: {e}", file=sys.stderr)
-    try:
-        v = bench_qm9_train_step(reps=3)
-        extras["qm9_train_step"] = _with_details({
-            "value": round(v, 1), "unit": "steps/s/chip",
-            "vs_baseline": _vs(v, _baseline("qm9_train_step", "")),
-        }, "qm9_train_step")
-    except Exception as e:  # pragma: no cover
-        print(f"qm9 train extra failed: {e}", file=sys.stderr)
+
+    def _run_extra(key: str, fn, detail_name: str, unit: str, task: str,
+                   method: str, digits: int = 2) -> None:
+        # A failed extra MUST stay visible in the JSON: round 3 silently
+        # dropped qm9_train_step when it crashed on TPU (VERDICT r3 item 1),
+        # and a driver diffing BENCH_r{N}.json saw a metric vanish with no
+        # machine-readable reason.
+        try:
+            v = fn()
+            extras[key] = _with_details({
+                "value": round(v, digits), "unit": unit,
+                "vs_baseline": _vs(v, _baseline(task, method)),
+            }, detail_name)
+        except Exception as e:
+            print(f"{key} extra failed: {e}", file=sys.stderr)
+            extras[key] = {"error": f"{type(e).__name__}: {e}"[:500]}
+
+    _run_extra(
+        "lj13_dopri5_reference_stepper" if parity_method == "dopri5"
+        else "lj13_rk4_tpu_native",
+        lambda: bench_lj13(parity_method, reps=3),
+        f"lj13_{parity_method}", "samples/s/chip", "lj13", parity_method,
+    )
+    _run_extra(
+        "qm9_sample_logprob_hutch4",
+        lambda: bench_qm9_sample_logprob(reps=3),
+        "qm9_hutch4_dopri5", "samples/s/chip", "qm9_hutch4", "dopri5",
+    )
+    _run_extra(
+        "qm9_sample_logprob_hutch4_rk4",
+        lambda: bench_qm9_sample_logprob(reps=3, method="rk4"),
+        "qm9_hutch4_rk4", "samples/s/chip", "qm9_hutch4", "rk4",
+    )
+    _run_extra(
+        "qm9_train_step",
+        lambda: bench_qm9_train_step(reps=3),
+        "qm9_train_step", "steps/s/chip", "qm9_train_step", "", digits=1,
+    )
 
     print(json.dumps(_with_details({
         "metric": "lj13_sample_with_exact_logprob",

@@ -192,15 +192,26 @@ class WandbLogger(Logger):
             self.run.finish()
 
 
-def setup_logger(logger_cfg: Mapping[str, Any], save_dir: str = ".", save: bool = True) -> Logger:
+def setup_logger(
+    logger_cfg: Mapping[str, Any],
+    save_dir: str = ".",
+    save: bool = True,
+    experiment_config: Optional[Mapping[str, Any]] = None,
+) -> Logger:
     """Select a logger by which key is present in the config section.
 
-    Parity: reference `ecnf/utils/setup_train_objects.py:5-17`.
+    Parity: reference `ecnf/utils/setup_train_objects.py:5-17`.  When
+    `experiment_config` is given (the full experiment dict) it is recorded
+    into the wandb run's config — reference `setup_train_objects.py:7`:
+    ``WandbLogger(**cfg.logger.wandb, config=dict(cfg))``.
     """
     if logger_cfg is None:
         return ListLogger()
     if "wandb" in logger_cfg:
-        return WandbLogger(**(logger_cfg["wandb"] or {}))
+        kwargs = dict(logger_cfg["wandb"] or {})
+        if experiment_config is not None and "config" not in kwargs:
+            kwargs["config"] = dict(experiment_config)
+        return WandbLogger(**kwargs)
     if "list_logger" in logger_cfg:
         return ListLogger()
     if "pandas_logger" in logger_cfg or "csv_logger" in logger_cfg:

@@ -102,14 +102,17 @@ def run_training(config: TrainConfig):
     key = jax.random.PRNGKey(config.seed)
     key, subkey = jax.random.split(key)
     # Flax init is eager; on a tunneled backend every op would round-trip
-    # the tunnel (measured ~50 s for the LJ13 net).  The update/eval jits
-    # all carry explicit shardings (`training/setup.py`), so pinning eager
-    # work to the host cpu never moves compiled programs off the mesh.
+    # the tunnel (measured ~50 s for the LJ13 net).  `host_tracing` is a
+    # null context except on remote-plugin backends, and the update/eval
+    # jits all carry explicit shardings (`training/setup.py`), so pinning
+    # eager work to the host cpu never moves compiled programs off the mesh.
     with host_tracing():
         state = config.init_state(subkey)
-    # Commit to the accelerator (device_put without a device does NOT
-    # commit); the first sharded update re-distributes across the mesh.
-    state = jax.device_put(state, jax.devices()[0])
+    # Commit to an accelerator this process can address (device_put without
+    # a device does NOT commit); on a multi-host run `jax.devices()[0]`
+    # would be non-addressable from processes > 0 (ADVICE r3).  The first
+    # sharded update re-distributes across the mesh.
+    state = jax.device_put(state, jax.local_devices()[0])
 
     start_iter = 0
     if config.resume and checkpoints_dir is not None:

@@ -38,7 +38,7 @@ from ecnf_tpu.cnf.sampling import (
 from ecnf_tpu.ops.numerics import maybe_masked_mean
 from ecnf_tpu.parallel.mesh import get_mesh, replicated, data_sharded
 from ecnf_tpu.targets.data import FullGraphSample
-from ecnf_tpu.training.config import ExperimentConfig
+from ecnf_tpu.training.config import ExperimentConfig, config_to_dict
 from ecnf_tpu.training.evaluation import eval_fn, calculate_forward_ess, calculate_reverse_ess
 from ecnf_tpu.training.loggers import setup_logger
 from ecnf_tpu.training.loop import TrainConfig
@@ -119,7 +119,14 @@ def setup_training(
     if mesh is None:
         mesh = get_mesh()
 
-    logger = setup_logger(cfg.logger, save_dir=tcfg.save_dir or ".", save=tcfg.save)
+    # The FULL experiment config rides into the run record (wandb `config=`;
+    # reference `setup_train_objects.py:7`), not just the logger section.
+    logger = setup_logger(
+        cfg.logger,
+        save_dir=tcfg.save_dir or ".",
+        save=tcfg.save,
+        experiment_config=config_to_dict(cfg),
+    )
     save_path = tcfg.save_dir or "."
 
     # Re-root outputs under the live wandb run directory so checkpoints and

@@ -70,11 +70,18 @@ def host_tracing():
     """Context manager pinning the default device to a host CPU.
 
     Use around `Module.init` and `jit(...).lower(...)` calls on tunneled
-    backends.  A no-op (null context) when no cpu backend exists — e.g.
-    an ``axon``-only process that never called `ensure_host_cpu_backend`.
+    backends.  A true no-op (null context) unless the default backend is a
+    remote plugin: on local backends (cpu, or a directly attached
+    accelerator) eager dispatch is cheap and pinning would silently move
+    uncommitted eager work in user callbacks (e.g. a custom
+    `eval_and_plot_fn`) onto host CPU (ADVICE r3).  Also a no-op when no
+    cpu backend exists — e.g. an ``axon``-only process that never called
+    `ensure_host_cpu_backend`.
     """
     import jax
 
+    if jax.default_backend() not in _REMOTE_PLUGIN_PLATFORMS:
+        return contextlib.nullcontext()
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:

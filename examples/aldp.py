@@ -52,12 +52,17 @@ def run(cfg):
 
 if __name__ == "__main__":
     config_path, local, overrides = parse_args("aldp.yaml")
-    cfg = load_experiment_config(config_path, local, overrides)
-    if local:
-        cfg.training.batch_size = 2
-        cfg.training.eval_batch_size = 2
-        cfg.training.train_set_size = 8
-        cfg.training.test_set_size = 8
-        cfg.flow.network.mlp_units = (4,)
-        cfg.flow.network.n_blocks_egnn = 1
-    run(cfg)
+    # Reference aldp.py:27-40: the ALDP local block shrinks further than
+    # the shared one (22 atoms; tiny batches and a 1-block net).  Routed
+    # through the validated-override layer so CLI overrides still win.
+    run(load_experiment_config(
+        config_path, local, overrides,
+        local_extra=(
+            "training.batch_size=2",
+            "training.eval_batch_size=2",
+            "training.train_set_size=8",
+            "training.test_set_size=8",
+            "flow.network.mlp_units=[4]",
+            "flow.network.n_blocks_egnn=1",
+        ),
+    ))

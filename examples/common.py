@@ -22,6 +22,13 @@ from ecnf_tpu.utils.host_trace import ensure_host_cpu_backend
 
 ensure_host_cpu_backend()
 
+# Multi-host wiring must precede ANY jax backend touch; a no-op unless a
+# launcher provided a coordinator (COORDINATOR_ADDRESS or explicit args) —
+# see `ecnf_tpu/parallel/distributed.py`.
+from ecnf_tpu.parallel.distributed import maybe_initialize_distributed
+
+maybe_initialize_distributed()
+
 from ecnf_tpu.training.config import ExperimentConfig, load_config
 
 CONFIG_DIR = Path(__file__).resolve().parent / "configs"
@@ -45,8 +52,8 @@ def parse_args(default_config: str) -> tuple:
 
 
 # Debug-scale settings, matching the reference examples' `local` blocks
-# (`dw4.py:24-38` etc.).  Applied before CLI overrides so explicit
-# `key=value` arguments always win.
+# (`dw4.py:24-38`, `lj13.py:24-37`, `qm9.py:23-36`).  Applied before CLI
+# overrides so explicit `key=value` arguments always win.
 LOCAL_OVERRIDES = (
     "logger={list_logger: null}",
     "training.save=false",
@@ -64,7 +71,19 @@ LOCAL_OVERRIDES = (
 
 
 def load_experiment_config(
-    config_path: str, local: bool, overrides: Sequence[str]
+    config_path: str,
+    local: bool,
+    overrides: Sequence[str],
+    local_extra: Sequence[str] = (),
 ) -> ExperimentConfig:
-    all_overrides = (list(LOCAL_OVERRIDES) if local else []) + list(overrides)
+    """Load a config with optional debug-scale (`--local`) overrides.
+
+    `local_extra` carries the per-target deltas of the reference's in-code
+    blocks (DW4 additionally sets `flow.base_scale=2.`, `dw4.py:27`; ALDP
+    shrinks further, `aldp.py:27-40`); it is layered on top of
+    LOCAL_OVERRIDES but below explicit CLI overrides.
+    """
+    all_overrides = (
+        (list(LOCAL_OVERRIDES) + list(local_extra)) if local else []
+    ) + list(overrides)
     return load_config(config_path, overrides=all_overrides)

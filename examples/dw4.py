@@ -30,4 +30,7 @@ def run(cfg):
 
 if __name__ == "__main__":
     config_path, local, overrides = parse_args("dw4.yaml")
-    run(load_experiment_config(config_path, local, overrides))
+    # Reference dw4.py:27: the DW4 local block additionally widens the base.
+    run(load_experiment_config(
+        config_path, local, overrides, local_extra=("flow.base_scale=2.0",)
+    ))

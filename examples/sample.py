@@ -141,17 +141,27 @@ def main():
     n = args.n_samples
     samples = np.empty((n, n_nodes * dim), np.float32)
     log_q = np.empty((n,), np.float32) if args.with_log_prob else None
+    # The first compiled call carries per-device warmup and the initial
+    # input transfer; fold it into the reported rate and throughput is
+    # understated (ADVICE r3).  Time it separately; the steady-state rate
+    # covers batches 2..end (matching the reference's
+    # measure_sampling_time convention of excluding the first call).
     t0 = time.perf_counter()
+    t_first = dt_steady = 0.0
+    n_first = 0
     for start in range(0, n, B):
         key, sub = jax.random.split(key)
         out = jax.block_until_ready(compiled(params, sub))
         take = min(B, n - start)
+        if start == 0:
+            t_first = time.perf_counter() - t0
+            n_first = take
         if args.with_log_prob:
             samples[start : start + take] = np.asarray(out[0])[:take]
             log_q[start : start + take] = np.asarray(out[1])[:take]
         else:
             samples[start : start + take] = np.asarray(out)[:take]
-    dt = time.perf_counter() - t0
+    dt_steady = time.perf_counter() - t0 - t_first
 
     # Diverged / budget-exhausted adaptive solves come back as NaN rows
     # (ops/ode.py NaN-freeze); surface them before anything consumes the
@@ -173,10 +183,15 @@ def main():
             f", mean log q {log_q.mean():.4f} "
             f"({'Hutchinson' if args.approx else 'exact'} trace)"
         )
-    rate = f", {n / dt:.1f}/s" if dt > 0 else ""
+    if n > n_first and dt_steady > 0:
+        rate = f", steady {(n - n_first) / dt_steady:.1f}/s"
+    elif t_first > 0:  # single batch: only the warmup-inclusive rate exists
+        rate = f", {n / t_first:.1f}/s (single batch, incl. warmup)"
+    else:
+        rate = ""
     print(
-        f"sampled {n} configurations: trace+compile {startup_s:.1f}s"
-        f"{rate}, {n_dev} device(s){extra}"
+        f"sampled {n} configurations: trace+compile {startup_s:.1f}s, "
+        f"first batch {t_first:.2f}s{rate}, {n_dev} device(s){extra}"
     )
     if args.output:
         np.save(args.output, samples.reshape(n, n_nodes, dim))

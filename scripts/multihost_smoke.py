@@ -23,12 +23,17 @@ def worker(process_id: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
+    # Through the production helper (VERDICT r3 item 4): the one entry
+    # point a real launcher would use must be the one this smoke covers.
+    from ecnf_tpu.parallel.distributed import maybe_initialize_distributed
+
+    did_init = maybe_initialize_distributed(
         coordinator_address=COORD,
         num_processes=N_PROC,
         process_id=process_id,
         local_device_ids=list(range(LOCAL_DEVICES)),
     )
+    assert did_init, "helper skipped initialize in a fresh worker process"
     import jax.numpy as jnp
 
     from ecnf_tpu.cnf.build import build_cnf

@@ -18,13 +18,13 @@ cd "$(dirname "$0")/.."
 RUN=${1:-g64}
 case "$RUN" in
   g64)
-    exec python examples/qm9.py \
+    exec env ECNF_ALLOW_SYNTHETIC_QM9=1 python examples/qm9.py \
       training.epochs_per_dispatch=64 \
       training.save_dir=runs/qm9_soak_g64 \
       "logger={csv_logger: {save_period: 2000}}"
     ;;
   g1)
-    exec python examples/qm9.py \
+    exec env ECNF_ALLOW_SYNTHETIC_QM9=1 python examples/qm9.py \
       training.epochs_per_dispatch=1 \
       training.runtime_limit=1.0 \
       training.save_dir=runs/qm9_soak_g1 \

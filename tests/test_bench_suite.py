@@ -95,18 +95,24 @@ class TestSuiteMode:
         assert extra["vs_baseline"] == round(300.0 / dopri5_base, 2)
         assert rk4_base != dopri5_base  # distinct programs, distinct baselines
 
-    def test_extra_failure_keeps_headline(self, monkeypatch, capsys):
+    def test_extra_failure_keeps_headline_and_is_machine_visible(
+        self, monkeypatch, capsys
+    ):
+        """VERDICT r3 item 1: a crashed extra must not silently vanish
+        from the JSON — it stays under its key with an `error` field."""
         mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite")
 
-        def boom(reps):
+        def boom(reps, method="dopri5"):
             raise RuntimeError("qm9 compile blew up")
 
         _fake_rates(mod, monkeypatch)
         monkeypatch.setattr(mod, "bench_qm9_sample_logprob", boom)
         rec = _run_main(mod, capsys)
         assert rec["metric"] == "lj13_sample_with_exact_logprob"
-        assert "qm9_sample_logprob_hutch4" not in rec["extras"]
-        assert "qm9_train_step" in rec["extras"]
+        failed = rec["extras"]["qm9_sample_logprob_hutch4"]
+        assert failed == {"error": "RuntimeError: qm9 compile blew up"}
+        assert "value" not in failed
+        assert rec["extras"]["qm9_train_step"]["value"] == 95.0
 
     def test_extras_opt_out(self, monkeypatch, capsys):
         mod = _reload(monkeypatch, ECNF_BENCH_TASK="suite",
@@ -195,6 +201,10 @@ class TestDetailsSideChannel:
         mod._record_details("t2", [1.0], 48.0,
                             FlopCount(bf16=1e12, f32=0.0, has_while=True))
         assert "mfu" not in mod.DETAILS["t2"]
+        # ADVICE r3: a one-trip while-body count must not masquerade as a
+        # full-run FLOP total — it ships under a distinctly named key.
+        assert "tflops" not in mod.DETAILS["t2"]
+        assert mod.DETAILS["t2"]["tflops_one_trip"] == 1.0
         assert mod.DETAILS["t2"]["spread_min"] == round(
             48.0 / jax.device_count(), 2
         )

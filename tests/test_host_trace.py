@@ -92,11 +92,32 @@ class TestHostTracing:
         assert set(y.devices()) == set(devs.tolist())
         np.testing.assert_allclose(np.asarray(y), 6.0)
 
+    def test_nullcontext_on_local_backend(self, monkeypatch):
+        """ADVICE r3: on local backends (cpu / directly attached chips)
+        the context must be a TRUE no-op — pinning would silently move
+        uncommitted eager work in user callbacks onto host CPU."""
+        import contextlib
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert isinstance(host_tracing(), contextlib.nullcontext)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert isinstance(host_tracing(), contextlib.nullcontext)
+
+    def test_pins_on_remote_plugin_backend(self, monkeypatch):
+        """Only a remote-plugin default backend activates the pin."""
+        import contextlib
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+        ctx = host_tracing()  # the test process has a cpu backend
+        assert not isinstance(ctx, contextlib.nullcontext)
+
     def test_nullcontext_without_cpu_backend(self, monkeypatch):
-        """When jax has no cpu backend the context degrades to a no-op."""
+        """When jax has no cpu backend the context degrades to a no-op
+        (even on a remote-plugin default backend)."""
         def boom(_):
             raise RuntimeError("no cpu backend")
 
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
         monkeypatch.setattr(jax, "devices", boom)
         ctx = host_tracing()
         with ctx:

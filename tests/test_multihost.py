@@ -20,3 +20,115 @@ def test_two_process_training_agrees():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost smoke OK" in out.stdout
+
+
+class TestMaybeInitializeDistributed:
+    """The production multi-host entry point (VERDICT r3 items 2/4): it
+    must decide and act WITHOUT initializing jax backends, since after a
+    backend touch `jax.distributed.initialize` is too late."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_env(self, monkeypatch):
+        for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        yield
+
+    @pytest.fixture
+    def _no_backend_touch(self, monkeypatch):
+        """Make any backend-initializing call blow up loudly."""
+        import jax
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "maybe_initialize_distributed touched a jax backend"
+            )
+
+        monkeypatch.setattr(jax, "process_count", boom)
+        monkeypatch.setattr(jax, "process_index", boom)
+        monkeypatch.setattr(jax, "devices", boom)
+        monkeypatch.setattr(jax, "local_devices", boom)
+
+    def test_explicit_args_invoke_initialize(
+        self, monkeypatch, _no_backend_touch
+    ):
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        calls = []
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: calls.append(kw),
+        )
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234",
+            num_processes=2,
+            process_id=1,
+            local_device_ids=[0, 1],
+        ) is True
+        assert calls == [dict(
+            coordinator_address="127.0.0.1:1234", num_processes=2,
+            process_id=1, local_device_ids=[0, 1],
+        )]
+
+    def test_env_vars_resolve_args(self, monkeypatch, _no_backend_touch):
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        calls = []
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:9")
+        monkeypatch.setenv("NUM_PROCESSES", "4")
+        monkeypatch.setenv("PROCESS_ID", "3")
+        assert dist.maybe_initialize_distributed() is True
+        assert calls == [dict(
+            coordinator_address="10.0.0.1:9", num_processes=4, process_id=3,
+        )]
+
+    def test_noop_without_coordinator(self, monkeypatch, _no_backend_touch):
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: pytest.fail("initialize called with no coordinator"),
+        )
+        assert dist.maybe_initialize_distributed() is False
+
+    def test_reentrant_after_initialize(self, monkeypatch, _no_backend_touch):
+        """A second call in an initialized process must not re-initialize —
+        and must answer via the distributed client state, not
+        jax.process_count() (the round-3 footgun)."""
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: True
+        )
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: pytest.fail("re-initialized an initialized process"),
+        )
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:9")
+        assert dist.maybe_initialize_distributed() is False
+
+    def test_client_probe_reads_jax_internals(self):
+        """`_distributed_client_active` reflects the real global state in
+        this (never-initialized) test process."""
+        from ecnf_tpu.parallel import distributed as dist
+
+        assert dist._distributed_client_active() is False

@@ -166,3 +166,57 @@ class TestEdgeList:
                 expected_s.append((i + 1 + j) % 4)
         np.testing.assert_array_equal(np.asarray(s), expected_s)
         np.testing.assert_array_equal(np.asarray(r), expected_r)
+
+
+class TestQM9SyntheticGuard:
+    """`load_qm9` must refuse the synthetic stand-in unless explicitly
+    opted in (VERDICT r3 item 3): `python examples/qm9.py` must never
+    silently train "QM9" on seeded noise."""
+
+    @staticmethod
+    def _write_standins(d, with_marker=True):
+        from ecnf_tpu.targets.data import SYNTHETIC_QM9_MARKER
+
+        rng = np.random.default_rng(0)
+        for name, n in [("train", 8), ("valid", 4), ("test", 4)]:
+            np.save(d / f"qm9pos_{name}.npy",
+                    rng.normal(size=(n, 19, 3)).astype(np.float32))
+        if with_marker:
+            (d / SYNTHETIC_QM9_MARKER).write_text("synthetic stand-in\n")
+
+    def test_marker_refuses_by_default(self, tmp_path, monkeypatch):
+        from ecnf_tpu.targets.data import load_qm9
+
+        monkeypatch.delenv("ECNF_ALLOW_SYNTHETIC_QM9", raising=False)
+        self._write_standins(tmp_path)
+        with pytest.raises(RuntimeError, match="SYNTHETIC"):
+            load_qm9(path=tmp_path)
+
+    def test_opt_in_kwarg(self, tmp_path, monkeypatch):
+        from ecnf_tpu.targets.data import load_qm9
+
+        monkeypatch.delenv("ECNF_ALLOW_SYNTHETIC_QM9", raising=False)
+        self._write_standins(tmp_path)
+        train, valid, test = load_qm9(path=tmp_path, allow_synthetic=True)
+        assert train.positions.shape == (8, 19, 3)
+
+    def test_opt_in_env(self, tmp_path, monkeypatch):
+        from ecnf_tpu.targets.data import load_qm9
+
+        self._write_standins(tmp_path)
+        monkeypatch.setenv("ECNF_ALLOW_SYNTHETIC_QM9", "1")
+        train, _, _ = load_qm9(path=tmp_path)
+        assert train.positions.shape == (8, 19, 3)
+        # "0" / empty do NOT opt in.
+        monkeypatch.setenv("ECNF_ALLOW_SYNTHETIC_QM9", "0")
+        with pytest.raises(RuntimeError, match="SYNTHETIC"):
+            load_qm9(path=tmp_path)
+
+    def test_unmarked_data_loads_freely(self, tmp_path, monkeypatch):
+        """Fixture/real data without the marker is untouched by the guard."""
+        from ecnf_tpu.targets.data import load_qm9
+
+        monkeypatch.delenv("ECNF_ALLOW_SYNTHETIC_QM9", raising=False)
+        self._write_standins(tmp_path, with_marker=False)
+        train, _, _ = load_qm9(path=tmp_path)
+        assert train.positions.shape == (8, 19, 3)
