@@ -90,6 +90,12 @@ TANGENT = os.environ.get("ECNF_BENCH_TANGENT", "1") not in ("", "0")
 METHOD = os.environ.get("ECNF_BENCH_METHOD", "rk4")
 TASK = os.environ.get("ECNF_BENCH_TASK", "suite")
 EXTRAS = os.environ.get("ECNF_BENCH_EXTRAS", "1") not in ("", "0")
+# A/B knob for the headline-drift study (VERDICT r3 item 2): =1 closes the
+# solve over params as XLA CONSTANTS (the r1/r2 harness form — lets XLA
+# constant-fold weight-dependent work at the cost of the slow HloEvaluator
+# folds, docs/PERF.md "Compile-time anomaly").  Default: params as runtime
+# arguments (the r3+ form; production semantics — params change per step).
+PARAMS_CONST = os.environ.get("ECNF_BENCH_PARAMS_CONST", "") not in ("", "0")
 
 _BASELINE_ENV = os.environ.get("ECNF_BENCH_BASELINE")
 
@@ -184,25 +190,45 @@ def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
     # that XLA constant-folds in the slow HloEvaluator — measured at 233 s
     # of the lj13[rk4] "compile" on TPU (docs/PERF.md "Compile-time
     # anomaly"); passing params as an argument removes every fold.
-    def run(p, key, feats_):
-        return sample_and_log_prob_cnf(
-            cnf, p, key, batch, features=feats_, approx=approx, cfg=cfg
-        )
+    # ECNF_BENCH_PARAMS_CONST=1 flips back to the constant form for A/B.
+    if PARAMS_CONST:
+        def run(key, feats_):
+            return sample_and_log_prob_cnf(
+                cnf, params, key, batch, features=feats_, approx=approx,
+                cfg=cfg,
+            )
 
-    run_jit = jax.jit(
-        run,
-        in_shardings=(replicated(mesh), replicated(mesh), data_sharded(mesh)),
-        out_shardings=replicated(mesh),
-    )
+        run_jit = jax.jit(
+            run,
+            in_shardings=(replicated(mesh), data_sharded(mesh)),
+            out_shardings=replicated(mesh),
+        )
+    else:
+        def run(p, key, feats_):
+            return sample_and_log_prob_cnf(
+                cnf, p, key, batch, features=feats_, approx=approx, cfg=cfg
+            )
+
+        run_jit = jax.jit(
+            run,
+            in_shardings=(replicated(mesh), replicated(mesh),
+                          data_sharded(mesh)),
+            out_shardings=replicated(mesh),
+        )
 
     t0 = time.perf_counter()
     with host_tracing():  # trace-time constants stay off the tunnel
-        lowered = run_jit.lower(params, jax.random.PRNGKey(1), feats_b)
+        if PARAMS_CONST:
+            lowered = run_jit.lower(jax.random.PRNGKey(1), feats_b)
+        else:
+            lowered = run_jit.lower(params, jax.random.PRNGKey(1), feats_b)
     params = jax.device_put(params, replicated(mesh))  # once, not per call
     t1 = time.perf_counter()
     compiled = lowered.compile()
     t2 = time.perf_counter()
-    out = compiled(params, jax.random.PRNGKey(1), feats_b)
+    call = (compiled if PARAMS_CONST
+            else (lambda k, f: compiled(params, k, f)))
+    out = call(jax.random.PRNGKey(1), feats_b)
     jax.block_until_ready(out)
     print(f"{label}: trace {t1 - t0:.2f}s compile {t2 - t1:.2f}s "
           f"first run {time.perf_counter() - t2:.2f}s", file=sys.stderr)
@@ -211,13 +237,15 @@ def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = compiled(params, keys[i], feats_b)
+        out = call(keys[i], feats_b)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)
     per_chip = batch / best / jax.device_count()
     if detail_name:
-        count = _count_flops(run, params, jax.random.PRNGKey(1), feats_b)
+        flop_args = ((jax.random.PRNGKey(1), feats_b) if PARAMS_CONST
+                     else (params, jax.random.PRNGKey(1), feats_b))
+        count = _count_flops(run, *flop_args)
         _record_details(detail_name, times, batch, count)
     print(
         f"{label}: device={jax.devices()[0].device_kind} batch={batch} "
