@@ -309,8 +309,7 @@ def setup_training(
 
         # Sharded like the train step: params replicated, the sampled batch
         # (internal to the solve) distributed by GSPMD; outputs replicated.
-        @partial(jax.jit, in_shardings=(rep, rep), out_shardings=rep)
-        def _ess_batch(params, k: jax.Array) -> jax.Array:
+        def _ess_batch_impl(params, k: jax.Array) -> jax.Array:
             feats = jnp.repeat(train_features_flat[:1], eval_sample_batch, axis=0)
             # NOTE: the reference passes `eval_exact_log_prob` directly as
             # `approx` here (`setup_training.py:171`), inverting its own
@@ -329,13 +328,32 @@ def setup_training(
             log_p = target_log_prob_fn(samples)
             return log_p - log_q
 
+        _ess_batch = partial(
+            jax.jit, in_shardings=(rep, rep), out_shardings=rep
+        )(_ess_batch_impl)
+
+        # Scan a bounded number of sample batches per device dispatch: the
+        # pure host loop paid a measured 38 ms dispatch tax per batch — 29%
+        # of the whole 10k-sample LJ13 eval (scripts/ess_eval_timing.py,
+        # docs/PERF.md "ESS-eval dispatch tax") — while one giant scanned
+        # program would hit the multi-minute device-program limit.  The
+        # chunk scans over the SAME split keys the host loop would use, so
+        # the log-weight sequence (hence rv_ess) is bitwise-identical for
+        # any chunk size.
+        chunk = max(1, min(int(tcfg.eval_dispatch_chunk), n_eval_batches))
+
+        @partial(jax.jit, in_shardings=(rep, rep), out_shardings=rep)
+        def _ess_chunk(params, ks):  # ks: [chunk, key]
+            return jax.lax.map(lambda k: _ess_batch_impl(params, k), ks)
+
         def eval_batch_free_fn(key: jax.Array, state: TrainingState) -> dict:
-            # Host loop over per-batch jits (not one giant scanned program):
-            # bounded device-program length, progress per batch.
-            log_ws = [
-                _ess_batch(state.params, k)
-                for k in jax.random.split(key, n_eval_batches)
-            ]
+            keys = jax.random.split(key, n_eval_batches)
+            log_ws = []
+            full = (n_eval_batches // chunk) * chunk
+            for start in range(0, full, chunk):
+                log_ws.append(_ess_chunk(state.params, keys[start:start + chunk]))
+            for i in range(full, n_eval_batches):  # remainder: per-batch jit
+                log_ws.append(_ess_batch(state.params, keys[i])[None])
             log_w = jnp.concatenate(log_ws).flatten()
             return {"rv_ess": calculate_reverse_ess(log_w)}
 

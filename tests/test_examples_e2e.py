@@ -410,3 +410,53 @@ def test_sample_cli_rejects_zero_samples(tmp_path):
     )
     assert result.returncode == 2  # argparse usage error
     assert "must be >= 1" in result.stderr
+
+
+class TestEssDispatchChunk:
+    """`training.eval_dispatch_chunk` groups reverse-ESS sample batches
+    into one scanned device program (docs/PERF.md "ESS-eval dispatch
+    tax").  The chunked form must use the SAME split-key sequence as the
+    per-batch host loop, so rv_ess is identical for any chunk size."""
+
+    def _eval_info(self, tmp_path, chunk, subdir):
+        cfg = load_config(
+            str(REPO / "examples/configs/dw4.yaml"),
+            overrides=_tiny_overrides(
+                tmp_path / subdir,
+                extra=(
+                    "flow.network.compute_dtype=null",
+                    "training.use_fixed_step_size=true",
+                    "training.eval_n_model_samples=40",
+                    "training.eval_batch_size=8",
+                    "training.eval_plots=false",
+                    "training.test_set_size=8",
+                    f"training.eval_dispatch_chunk={chunk}",
+                ),
+            ),
+        )
+
+        def load_dataset(train_size, test_size):
+            train, valid, test = load_dw4(train_size)
+            return train, test[:test_size]
+
+        tc = setup_training(
+            cfg, load_dataset, target_log_prob_fn=double_well_log_prob
+        )
+        state = tc.init_state(jax.random.PRNGKey(0))
+        return tc.eval_and_plot_fn(
+            state, jax.random.PRNGKey(7), 0, False, str(tmp_path / subdir)
+        )
+
+    def test_chunked_equals_host_loop(self, tmp_path):
+        # 40 samples / batch 8 = 5 batches; chunk=2 exercises 2 scanned
+        # dispatches + 1 per-batch remainder against the pure host loop.
+        info_loop = self._eval_info(tmp_path, chunk=1, subdir="loop")
+        info_chunk = self._eval_info(tmp_path, chunk=2, subdir="chunk")
+        assert np.isfinite(info_loop["rv_ess"])
+        np.testing.assert_allclose(
+            info_chunk["rv_ess"], info_loop["rv_ess"], rtol=1e-6
+        )
+
+    def test_oversized_chunk_clamps(self, tmp_path):
+        info = self._eval_info(tmp_path, chunk=100, subdir="big")
+        assert np.isfinite(info["rv_ess"])
