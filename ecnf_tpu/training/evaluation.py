@@ -90,6 +90,7 @@ def eval_fn(
     batch_size: Optional[int] = None,
     mask: Optional[Mask] = None,
     use_scan: bool = False,
+    scan_chunk: Optional[int] = None,
 ) -> Tuple[dict, Optional[Any], Optional[Mask]]:
     """Run a per-batch eval fn over padded test data and aggregate with
     per-batch mask weighting; optionally run a batch-free eval.
@@ -100,8 +101,11 @@ def eval_fn(
     per-batch jit* instead of the reference's `lax.scan`.  A scan fuses the
     whole eval (dozens of adaptive ODE solves) into a single multi-minute
     device program — which runtime watchdogs kill and which gives no
-    progress signal; per-batch dispatch costs ~ms and is compiled once.
-    Pass ``use_scan=True`` for the single-program variant.
+    progress signal.  The middle ground (measured 38 ms dispatch tax per
+    batch over the tunnel, docs/PERF.md "ESS-eval dispatch tax"):
+    ``scan_chunk=G`` scans G batches per device dispatch — same per-batch
+    keys and outputs, bounded program length.  ``use_scan=True`` keeps the
+    reference's single-program variant.
     """
     info = {}
     key1, key2 = jax.random.split(key)
@@ -128,6 +132,31 @@ def eval_fn(
         if use_scan:
             _, batched_info = jax.lax.scan(
                 scan_fn, None, (x_batched, mask_batched, keys)
+            )
+        elif scan_chunk is not None and min(scan_chunk, n_batches) > 1:
+            G = min(int(scan_chunk), n_batches)
+            chunked = jax.jit(
+                lambda xs: jax.lax.scan(scan_fn, None, xs)[1]
+            )
+            pieces = []
+            full = (n_batches // G) * G
+            for start in range(0, full, G):
+                pieces.append(chunked(jax.tree_util.tree_map(
+                    lambda v: v[start:start + G],
+                    (x_batched, mask_batched, keys),
+                )))
+            for i in range(full, n_batches):  # remainder: per-batch dispatch
+                out_i = scan_fn(
+                    None,
+                    jax.tree_util.tree_map(
+                        lambda v: v[i], (x_batched, mask_batched, keys)
+                    ),
+                )[1]
+                pieces.append(
+                    jax.tree_util.tree_map(lambda v: jnp.asarray(v)[None], out_i)
+                )
+            batched_info = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=0), *pieces
             )
         else:
             outs = [

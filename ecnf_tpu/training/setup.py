@@ -439,6 +439,9 @@ def setup_training(
                 else None
             ),
             batch_size=eval_batch_size,
+            # Bounded-chunk dispatch for the test-NLL loop too (same
+            # measured 38 ms/dispatch tax; docs/PERF.md).
+            scan_chunk=tcfg.eval_dispatch_chunk,
         )
 
         if target_log_prob_fn is not None and log_w_fwd is not None:

@@ -186,6 +186,41 @@ class TestEvaluation:
                 float(info_loop[k]), float(info_scan[k]), rtol=1e-6
             )
 
+    def test_eval_fn_scan_chunk_agrees_with_loop(self):
+        """Bounded-chunk dispatch (scan_chunk=G) must reproduce the host
+        loop exactly — same per-batch keys — including a further-info
+        (log-weights) path and a non-divisible remainder."""
+        data = jnp.arange(20.0)
+
+        def batch_fn(x, key, mask):
+            s = jnp.where(mask, x, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+            return x * 2.0, {"m": s, "rand": jax.random.uniform(key)}
+
+        results = {}
+        for name, kw in [
+            ("loop", dict(use_scan=False)),
+            ("chunk2", dict(scan_chunk=2)),   # 4 batches -> 2 chunks
+            ("chunk3", dict(scan_chunk=3)),   # 3-chunk + 1 remainder batch
+            ("chunk99", dict(scan_chunk=99)),  # clamps to n_batches
+        ]:
+            results[name] = eval_fn(
+                data, jax.random.PRNGKey(0), eval_on_test_batch_fn=batch_fn,
+                batch_size=6, **kw,
+            )
+        info_loop, further_loop, mask_loop = results["loop"]
+        for name in ("chunk2", "chunk3", "chunk99"):
+            info, further, mask = results[name]
+            for k in info_loop:
+                np.testing.assert_allclose(
+                    float(info_loop[k]), float(info[k]), rtol=1e-6, err_msg=name
+                )
+            np.testing.assert_allclose(
+                np.asarray(further_loop), np.asarray(further), err_msg=name
+            )
+            np.testing.assert_array_equal(
+                np.asarray(mask_loop), np.asarray(mask)
+            )
+
     def test_padded_reshape_axis0(self):
         data = jnp.arange(10.0)
         reshaped, mask = setup_padded_reshaped_data(data, 4, reshape_axis=0)
