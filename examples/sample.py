@@ -57,6 +57,12 @@ def main():
                         help="node features: zeros (DW4/LJ13/QM9) or per-atom index (ALDP)")
     parser.add_argument("--ema", action="store_true",
                         help="serve the EMA parameters (reference final-eval semantics\n for use_ema configs, `setup_training.py:229-230`)")
+    parser.add_argument("--freeze-params", action="store_true",
+                        help="bake the checkpoint weights into the compiled "
+                        "program as XLA constants: ~+3%% steady-state "
+                        "throughput for long-lived serving at the cost of a "
+                        "fold-heavy compile, ~2 min extra startup (BASELINE.md "
+                        "'Headline drift', docs/PERF.md)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -114,27 +120,40 @@ def main():
     )
     fb = jnp.tile(feats_row, (B, 1))
 
-    # Params enter as a runtime argument (a closure capture would embed them
+    # Params default to a runtime argument (a closure capture embeds them
     # as XLA constants — slow HloEvaluator folds, docs/PERF.md), and the
     # trace runs under host_tracing so its eager ops skip the tunnel.
-    if args.with_log_prob:
-        fn = jax.jit(
-            lambda p, key: sample_and_log_prob_cnf(
+    # --freeze-params opts into the constant form: XLA folds
+    # weight-dependent stage-invariant work for ~+3% steady throughput,
+    # paying the fold-heavy compile once per process.
+    def _solve(p, key):
+        if args.with_log_prob:
+            return sample_and_log_prob_cnf(
                 cnf, p, key, B, features=fb, approx=args.approx, cfg=solve_cfg
-            ),
-            in_shardings=(replicated(mesh), replicated(mesh)),
-            out_shardings=(data_sharded(mesh), data_sharded(mesh)),
+            )
+        return sample_cnf(cnf, p, key, B, features=fb, cfg=solve_cfg)
+
+    out_shard = ((data_sharded(mesh), data_sharded(mesh))
+                 if args.with_log_prob else data_sharded(mesh))
+    t_start = time.perf_counter()
+    if args.freeze_params:
+        fn = jax.jit(
+            lambda key: _solve(params, key),
+            in_shardings=(replicated(mesh),),
+            out_shardings=out_shard,
         )
+        with host_tracing():
+            _compiled = fn.lower(jax.random.PRNGKey(0)).compile()
+        compiled = lambda p, key: _compiled(key)
     else:
         fn = jax.jit(
-            lambda p, key: sample_cnf(cnf, p, key, B, features=fb, cfg=solve_cfg),
+            _solve,
             in_shardings=(replicated(mesh), replicated(mesh)),
-            out_shardings=data_sharded(mesh),
+            out_shardings=out_shard,
         )
-    t_start = time.perf_counter()
-    with host_tracing():
-        compiled = fn.lower(params, jax.random.PRNGKey(0)).compile()
-    params = jax.device_put(params, replicated(mesh))
+        with host_tracing():
+            compiled = fn.lower(params, jax.random.PRNGKey(0)).compile()
+        params = jax.device_put(params, replicated(mesh))
     startup_s = time.perf_counter() - t_start
 
     key = jax.random.PRNGKey(args.seed)

@@ -47,6 +47,12 @@ def main():
                         help="node features: zeros (DW4/LJ13/QM9) or per-atom index (ALDP)")
     parser.add_argument("--ema", action="store_true",
                         help="serve the EMA parameters (reference final-eval semantics\n for use_ema configs, `setup_training.py:229-230`)")
+    parser.add_argument("--freeze-params", action="store_true",
+                        help="bake the checkpoint weights into the compiled "
+                        "program as XLA constants: ~+3%% steady-state "
+                        "throughput for long-lived serving at the cost of a "
+                        "fold-heavy compile, ~2 min extra startup (BASELINE.md "
+                        "'Headline drift', docs/PERF.md)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -114,23 +120,40 @@ def main():
         hutchinson_probes=cfg.training.hutchinson_probes,
     )
 
-    # Params as a runtime argument + host_tracing around the trace: see
-    # docs/PERF.md "Compile-time anomaly, diagnosed".
-    score = jax.jit(
-        lambda p, xb, key, fb: get_log_prob(
+    # Params as a runtime argument by default + host_tracing around the
+    # trace: see docs/PERF.md "Compile-time anomaly, diagnosed".
+    # --freeze-params bakes them in as XLA constants (~+3% steady
+    # throughput, fold-heavy compile once per process).
+    def _score(p, xb, key, fb):
+        return get_log_prob(
             cnf, p, xb, key, fb, approx=args.approx, cfg=solve_cfg
-        )[0],
-        in_shardings=(replicated(mesh), data_sharded(mesh), replicated(mesh),
-                      data_sharded(mesh)),
-        out_shardings=data_sharded(mesh),
-    )
+        )[0]
+
     fb = jnp.tile(feats_row, (B, 1))
+    x0b = jnp.zeros((B, x.shape[1]), x.dtype)
     t0 = time.perf_counter()
-    with host_tracing():
-        score_c = score.lower(
-            params, jnp.zeros((B, x.shape[1]), x.dtype), jax.random.PRNGKey(0), fb
-        ).compile()
-    params = jax.device_put(params, replicated(mesh))
+    if args.freeze_params:
+        score = jax.jit(
+            lambda xb, key, fb: _score(params, xb, key, fb),
+            in_shardings=(data_sharded(mesh), replicated(mesh),
+                          data_sharded(mesh)),
+            out_shardings=data_sharded(mesh),
+        )
+        with host_tracing():
+            _score_c = score.lower(x0b, jax.random.PRNGKey(0), fb).compile()
+        score_c = lambda p, xb, key, fb: _score_c(xb, key, fb)
+    else:
+        score = jax.jit(
+            _score,
+            in_shardings=(replicated(mesh), data_sharded(mesh),
+                          replicated(mesh), data_sharded(mesh)),
+            out_shardings=data_sharded(mesh),
+        )
+        with host_tracing():
+            score_c = score.lower(
+                params, x0b, jax.random.PRNGKey(0), fb
+            ).compile()
+        params = jax.device_put(params, replicated(mesh))
     print(f"trace+compile {time.perf_counter() - t0:.1f}s")
 
     key = jax.random.PRNGKey(args.seed)

@@ -83,12 +83,76 @@ def run_ess(batch: int, cfg: SolveConfig, label: str):
     return dt, n_batches
 
 
+def run_ess_chunked(batch: int, chunk: int, cfg: SolveConfig, label: str):
+    """The production form (`training/setup.py`): scan `chunk` sample
+    batches per jitted dispatch (training.eval_dispatch_chunk)."""
+    cnf = build_cnf(
+        n_frames=13, dim=3, sigma_min=0.01, base_scale=1.0,
+        n_blocks_egnn=3, mlp_units=(128, 128, 128),
+        n_invariant_feat_hidden=64, time_embedding_dim=8, n_features=1,
+        compute_dtype="bfloat16",
+    )
+    mesh = get_mesh()
+    with host_tracing():
+        feats = jnp.zeros((batch, 13), dtype=jnp.int32)
+        params = cnf.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 39)), jnp.zeros(2), feats[:2]
+        )
+
+    def one_batch(p, k):
+        samples, log_q = sample_and_log_prob_cnf(
+            cnf, p, k, batch, features=feats, approx=True, cfg=cfg
+        )
+        return lennard_jones_log_prob(samples.reshape(-1, 13, 3)) - log_q
+
+    fn = jax.jit(
+        lambda p, ks: jax.lax.map(lambda k: one_batch(p, k), ks),
+        in_shardings=(replicated(mesh), replicated(mesh)),
+        out_shardings=replicated(mesh),
+    )
+    n_batches = max(N_SAMPLES // batch, 1)
+    n_chunks = n_batches // chunk
+    keys = jax.random.split(jax.random.PRNGKey(2), n_batches)
+    ks0 = keys[:chunk]
+    t0 = time.perf_counter()
+    with host_tracing():
+        compiled = fn.lower(params, ks0).compile()
+    params = jax.device_put(params, replicated(mesh))
+    jax.block_until_ready(compiled(params, ks0))  # warm
+    print(f"[{label}] trace+compile+warm {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    log_ws = [
+        compiled(params, keys[c * chunk:(c + 1) * chunk])
+        for c in range(n_chunks)
+    ]
+    log_w = jnp.concatenate(log_ws).flatten()
+    ess = float(calculate_reverse_ess(log_w))
+    dt = time.perf_counter() - t0
+    n = n_chunks * chunk * batch
+    print(
+        f"[{label}] {n_chunks} dispatches x {chunk} batches x {batch} = "
+        f"{n} samples in {dt:.2f}s ({n / dt:.0f} samples/s), "
+        f"rv_ess={ess:.4f}",
+        flush=True,
+    )
+    return dt, n_chunks
+
+
 def main():
     cfg = SolveConfig(use_fixed_step_size=True, step_size=0.05, method="rk4",
                       hutchinson_probes=1)
     # Shipped eval_batch_size (lj13.yaml: 64) vs a TPU-friendlier batch.
     dt_64, nb_64 = run_ess(64, cfg, "batch=64 (shipped)")
     dt_512, nb_512 = run_ess(512, cfg, "batch=512")
+    # Clean A/B of the production forms (log_w fully inside the jit): the
+    # per-batch host loop (chunk=1, the old default) vs the bounded scan
+    # (chunk=8).  The run_ess numbers above additionally pay EAGER energy
+    # evaluation per batch — a per-batch tunnel-op chain that inflates the
+    # host-loop figure; they bound the worst case, not the shipped path.
+    run_ess_chunked(64, 1, cfg, "batch=64 chunk=1 (old default, in-jit)")
+    run_ess_chunked(64, 8, cfg, "batch=64 chunk=8 (production default)")
     # Dispatch-tax estimate: assume per-sample device work is constant, so
     # extra wall-clock per batch at 64 vs 512 bounds the host/tunnel tax.
     per_sample_512 = dt_512 / (nb_512 * 512)

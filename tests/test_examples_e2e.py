@@ -285,6 +285,25 @@ def test_score_cli_subprocess(tmp_path):
     assert lp.shape == (6,) and np.isfinite(lp).all()
     assert "mean log-prob" in result.stdout
 
+    # --freeze-params (weights as XLA constants, the long-lived-serving
+    # option) must score identically to the runtime-argument default.
+    result = subprocess.run(
+        [
+            sys.executable, "score.py", "--freeze-params",
+            "--config", "configs/dw4.yaml",
+            "--checkpoint-dir", str(ckpt_dir),
+            "--data", str(tmp_path / "pos.npy"),
+            "--output", str(tmp_path / "lp_frozen.npy"),
+            "--batch-size", "4",
+            *overrides,
+        ],
+        cwd=str(REPO / "examples"),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    lp_frozen = np.load(tmp_path / "lp_frozen.npy")
+    np.testing.assert_allclose(lp_frozen, lp, rtol=1e-5, atol=1e-5)
+
     # --ema on an EMA-less checkpoint must fail with a clear message ...
     result = subprocess.run(
         [
