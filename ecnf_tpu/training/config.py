@@ -86,13 +86,14 @@ class TrainingConfig:
     # ~25-400 steps) are otherwise host-latency-bound; groups never cross
     # an eval/checkpoint iteration, so schedules/logging are unchanged.
     epochs_per_dispatch: int = 1
-    # Reverse-ESS eval: sample batches per device dispatch.  1 = pure host
-    # loop (one jitted solve per batch).  At the LJ13 reference scale
-    # (10,000 samples / batch 64 = 156 dispatches) the per-dispatch tunnel
-    # tax measured 38 ms — 29% of the whole eval (scripts/ess_eval_timing.py,
-    # docs/PERF.md); scanning 8 batches per dispatch bounds the device
-    # program at ~1 s while cutting the tax to ~4%.  The RNG key sequence
-    # is identical for any value, so metrics don't move.
+    # Eval batches per device dispatch (reverse-ESS and test-NLL loops).
+    # 1 = pure host loop (one jitted call per batch).  Measured at the
+    # LJ13 reference eval scale (10,000 samples / batch 64): scanning 8
+    # batches per dispatch is 1.2x the pipelined host loop (5.82 s ->
+    # 4.82 s) with a ~1 s bounded device program
+    # (scripts/ess_eval_timing.py, docs/PERF.md "ESS-eval dispatch tax").
+    # The RNG key sequence is identical for any value, so metrics don't
+    # move.
     eval_dispatch_chunk: int = 8
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # Render plots during evals (true = reference behavior).  The default

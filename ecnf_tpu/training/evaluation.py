@@ -101,11 +101,11 @@ def eval_fn(
     per-batch jit* instead of the reference's `lax.scan`.  A scan fuses the
     whole eval (dozens of adaptive ODE solves) into a single multi-minute
     device program — which runtime watchdogs kill and which gives no
-    progress signal.  The middle ground (measured 38 ms dispatch tax per
-    batch over the tunnel, docs/PERF.md "ESS-eval dispatch tax"):
-    ``scan_chunk=G`` scans G batches per device dispatch — same per-batch
-    keys and outputs, bounded program length.  ``use_scan=True`` keeps the
-    reference's single-program variant.
+    progress signal.  The middle ground (measured 1.2x over the pipelined
+    host loop at the 10k-sample LJ13 eval, docs/PERF.md "ESS-eval
+    dispatch tax"): ``scan_chunk=G`` scans G batches per device dispatch —
+    same per-batch keys and outputs, bounded program length.
+    ``use_scan=True`` keeps the reference's single-program variant.
     """
     info = {}
     key1, key2 = jax.random.split(key)

@@ -332,14 +332,14 @@ def setup_training(
             jax.jit, in_shardings=(rep, rep), out_shardings=rep
         )(_ess_batch_impl)
 
-        # Scan a bounded number of sample batches per device dispatch: the
-        # pure host loop paid a measured 38 ms dispatch tax per batch — 29%
-        # of the whole 10k-sample LJ13 eval (scripts/ess_eval_timing.py,
-        # docs/PERF.md "ESS-eval dispatch tax") — while one giant scanned
-        # program would hit the multi-minute device-program limit.  The
-        # chunk scans over the SAME split keys the host loop would use, so
-        # the log-weight sequence (hence rv_ess) is bitwise-identical for
-        # any chunk size.
+        # Scan a bounded number of sample batches per device dispatch:
+        # measured 1.2x over the (pipelined) per-batch host loop at the
+        # 10k-sample LJ13 eval (5.82 s -> 4.82 s,
+        # scripts/ess_eval_timing.py, docs/PERF.md "ESS-eval dispatch
+        # tax") — while one giant scanned program would hit the
+        # multi-minute device-program limit.  The chunk scans over the
+        # SAME split keys the host loop would use, so the log-weight
+        # sequence (hence rv_ess) is bitwise-identical for any chunk size.
         chunk = max(1, min(int(tcfg.eval_dispatch_chunk), n_eval_batches))
 
         @partial(jax.jit, in_shardings=(rep, rep), out_shardings=rep)
@@ -440,7 +440,8 @@ def setup_training(
             ),
             batch_size=eval_batch_size,
             # Bounded-chunk dispatch for the test-NLL loop too (same
-            # measured 38 ms/dispatch tax; docs/PERF.md).
+            # residual per-dispatch cost; docs/PERF.md "ESS-eval
+            # dispatch tax").
             scan_chunk=tcfg.eval_dispatch_chunk,
         )
 
