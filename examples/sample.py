@@ -156,10 +156,17 @@ def main():
         params = jax.device_put(params, replicated(mesh))
     startup_s = time.perf_counter() - t_start
 
-    key = jax.random.PRNGKey(args.seed)
     n = args.n_samples
     samples = np.empty((n, n_nodes * dim), np.float32)
     log_q = np.empty((n,), np.float32) if args.with_log_prob else None
+    starts = list(range(0, n, B))
+    # All keys from ONE eager split: a per-batch `jax.random.split` between
+    # dispatches is an eager round-trip that blocks the async dispatch
+    # pipeline — measured 4x on the ESS eval (docs/PERF.md "ESS-eval
+    # dispatch tax").  Consumption is double-buffered for the same reason:
+    # reading batch i's result only after batch i+1 is enqueued overlaps
+    # the D2H copy + host writes with device compute.
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), len(starts))
     # The first compiled call carries per-device warmup and the initial
     # input transfer; fold it into the reported rate and throughput is
     # understated (ADVICE r3).  Time it separately; the steady-state rate
@@ -168,18 +175,29 @@ def main():
     t0 = time.perf_counter()
     t_first = dt_steady = 0.0
     n_first = 0
-    for start in range(0, n, B):
-        key, sub = jax.random.split(key)
-        out = jax.block_until_ready(compiled(params, sub))
-        take = min(B, n - start)
-        if start == 0:
-            t_first = time.perf_counter() - t0
-            n_first = take
+
+    def consume(start, take, out):
         if args.with_log_prob:
             samples[start : start + take] = np.asarray(out[0])[:take]
             log_q[start : start + take] = np.asarray(out[1])[:take]
         else:
             samples[start : start + take] = np.asarray(out)[:take]
+
+    from collections import deque
+
+    pending = deque()
+    for i, start in enumerate(starts):
+        out = compiled(params, keys[i])  # async dispatch
+        take = min(B, n - start)
+        if i == 0:
+            jax.block_until_ready(out)
+            t_first = time.perf_counter() - t0
+            n_first = take
+        pending.append((start, take, out))
+        if len(pending) > 1:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
     dt_steady = time.perf_counter() - t0 - t_first
 
     # Diverged / budget-exhausted adaptive solves come back as NaN rows

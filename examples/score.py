@@ -156,18 +156,31 @@ def main():
         params = jax.device_put(params, replicated(mesh))
     print(f"trace+compile {time.perf_counter() - t0:.1f}s")
 
-    key = jax.random.PRNGKey(args.seed)
     n = x.shape[0]
     out = np.empty((n,), np.float32)
+    starts = list(range(0, n, B))
+    # One eager split for all keys + double-buffered consumption: eager
+    # ops or blocking reads between dispatches serialize the async
+    # dispatch pipeline (docs/PERF.md "ESS-eval dispatch tax").
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), len(starts))
+    from collections import deque
+
+    pending = deque()
+
+    def consume(start, pad, lp_dev):
+        out[start : start + B - pad] = np.asarray(lp_dev)[: B - pad]
+
     t0 = time.perf_counter()
-    for start in range(0, n, B):
+    for i, start in enumerate(starts):
         chunk = x[start : start + B]
         pad = B - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.zeros((pad, chunk.shape[1]))], 0)
-        key, sub = jax.random.split(key)
-        lp = np.asarray(jax.block_until_ready(score_c(params, chunk, sub, fb)))
-        out[start : start + B - pad] = lp[: B - pad]
+        pending.append((start, pad, score_c(params, chunk, keys[i], fb)))
+        if len(pending) > 1:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
     dt = time.perf_counter() - t0
 
     print(
