@@ -147,6 +147,22 @@ def _count_flops(fn, *args):
         return None
 
 
+def _sanity_check_times(times, label: str, floor_s: float = 2e-3) -> None:
+    """Reject implausibly fast reps: after an OOM-killed remote kernel
+    compile, live arrays can become dead buffers and dispatches return
+    instantly with ~0 ms garbage (observed 2026-08-21, docs/PERF.md
+    "Pallas at flagship (QM9) scale").  Every real program here takes
+    >> `floor_s` per dispatch over the tunnel, so a faster rep means the
+    measurement — not the program — is broken."""
+    fastest = min(times)
+    if fastest < floor_s:
+        raise RuntimeError(
+            f"{label}: implausibly fast rep ({fastest * 1e3:.3f} ms < "
+            f"{floor_s * 1e3:.0f} ms floor) — dead buffers after a failed "
+            "compile? Re-run in a fresh process."
+        )
+
+
 def _baseline(task: str, method: str):
     if task == "lj13" and _BASELINE_ENV:
         return float(_BASELINE_ENV)
@@ -240,6 +256,7 @@ def _sharded_solve_rate(cnf, n_nodes: int, batch: int, cfg, approx: bool,
         out = call(keys[i], feats_b)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+    _sanity_check_times(times, label)
     best = min(times)
     per_chip = batch / best / jax.device_count()
     if detail_name:
@@ -378,6 +395,7 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
         state, loss = compiled(state, data)
         jax.block_until_ready(loss)
         times.append(time.perf_counter() - t0)
+    _sanity_check_times(times, "qm9_train")
     best = min(times)
     steps_s = n_steps / best / jax.device_count()
     _record_details("qm9_train_step", times, n_steps, count)

@@ -223,3 +223,16 @@ class TestBaselineTable:
     def test_missing_baseline_reports_zero(self):
         assert bench._vs(123.0, None) == 0.0
         assert bench._vs(123.0, bench._baseline("nope", "rk4")) == 0.0
+
+
+class TestTimingSanityCheck:
+    def test_rejects_dead_buffer_readings(self, monkeypatch):
+        """~0 ms reps mean dead buffers after a failed remote compile
+        (docs/PERF.md) — the bench must refuse to report them."""
+        mod = _reload(monkeypatch)
+        with pytest.raises(RuntimeError, match="implausibly fast"):
+            mod._sanity_check_times([0.17, 0.00005, 0.18], "lj13[rk4]")
+
+    def test_accepts_real_readings(self, monkeypatch):
+        mod = _reload(monkeypatch)
+        mod._sanity_check_times([0.17, 0.18, 0.21], "lj13[rk4]")  # no raise
