@@ -133,6 +133,13 @@ def _record_details(name: str, times, batch_per_run: float, flop_count=None):
             det["tflops_one_trip"] = round(flop_count.total / 1e12, 3)
         else:
             det["tflops"] = round(flop_count.total / 1e12, 3)
+    try:  # device-memory telemetry where the backend exposes it
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            det["peak_hbm_gb"] = round(peak / 2**30, 3)
+    except Exception:
+        pass
     DETAILS[name] = det
 
 
