@@ -133,11 +133,15 @@ def _record_details(name: str, times, batch_per_run: float, flop_count=None):
             det["tflops_one_trip"] = round(flop_count.total / 1e12, 3)
         else:
             det["tflops"] = round(flop_count.total / 1e12, 3)
-    try:  # device-memory telemetry where the backend exposes it
+    try:  # device-memory telemetry where the backend exposes it.
+        # NOTE: the allocator's peak is PROCESS-lifetime (it cannot be
+        # reset), so in suite mode this is the max over this and all
+        # earlier benchmarks in the process — named accordingly so it
+        # cannot be misread as a per-benchmark footprint.
         stats = jax.local_devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
         if peak:
-            det["peak_hbm_gb"] = round(peak / 2**30, 3)
+            det["peak_hbm_process_gb"] = round(peak / 2**30, 3)
     except Exception:
         pass
     DETAILS[name] = det

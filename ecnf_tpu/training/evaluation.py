@@ -91,6 +91,7 @@ def eval_fn(
     mask: Optional[Mask] = None,
     use_scan: bool = False,
     scan_chunk: Optional[int] = None,
+    eval_on_test_chunk_fn: Optional[Callable[..., Any]] = None,
 ) -> Tuple[dict, Optional[Any], Optional[Mask]]:
     """Run a per-batch eval fn over padded test data and aggregate with
     per-batch mask weighting; optionally run a batch-free eval.
@@ -103,9 +104,18 @@ def eval_fn(
     device program — which runtime watchdogs kill and which gives no
     progress signal.  The middle ground (measured 1.2x over the pipelined
     host loop at the 10k-sample LJ13 eval, docs/PERF.md "ESS-eval
-    dispatch tax"): ``scan_chunk=G`` scans G batches per device dispatch —
-    same per-batch keys and outputs, bounded program length.
-    ``use_scan=True`` keeps the reference's single-program variant.
+    dispatch tax"): ``scan_chunk=G`` with ``eval_on_test_chunk_fn`` scans
+    G batches per device dispatch — same per-batch keys and outputs,
+    bounded program length.  The chunk fn has signature
+    ``(x_chunk, keys[G], mask_chunk) -> stacked per-batch outputs`` and
+    MUST be a once-constructed jit taking any changing state (params,
+    opt state) as runtime *arguments* — a fresh `jax.jit` closing over
+    concrete arrays would retrace and recompile the whole G-batch program
+    at every eval (the params-as-constants pathology, docs/PERF.md
+    "Compile-time anomaly"; see `training/setup.py:_eval_data_chunk` for
+    the canonical construction).  With ``scan_chunk`` set but no chunk fn,
+    the host loop is used.  ``use_scan=True`` keeps the reference's
+    single-program variant.
     """
     info = {}
     key1, key2 = jax.random.split(key)
@@ -133,18 +143,20 @@ def eval_fn(
             _, batched_info = jax.lax.scan(
                 scan_fn, None, (x_batched, mask_batched, keys)
             )
-        elif scan_chunk is not None and min(scan_chunk, n_batches) > 1:
+        elif (
+            eval_on_test_chunk_fn is not None
+            and scan_chunk is not None
+            and min(scan_chunk, n_batches) > 1
+        ):
             G = min(int(scan_chunk), n_batches)
-            chunked = jax.jit(
-                lambda xs: jax.lax.scan(scan_fn, None, xs)[1]
-            )
             pieces = []
             full = (n_batches // G) * G
             for start in range(0, full, G):
-                pieces.append(chunked(jax.tree_util.tree_map(
+                x_g, m_g, k_g = jax.tree_util.tree_map(
                     lambda v: v[start:start + G],
                     (x_batched, mask_batched, keys),
-                )))
+                )
+                pieces.append(eval_on_test_chunk_fn(x_g, k_g, m_g))
             for i in range(full, n_batches):  # remainder: per-batch dispatch
                 out_i = scan_fn(
                     None,

@@ -363,12 +363,7 @@ def setup_training(
     # Test batches sharded over the data axis; masked means reduce globally
     # (exact across devices/hosts), state replicated.  (jit sharding specs
     # require positional args; the kwarg-friendly wrapper is below.)
-    @partial(
-        jax.jit,
-        in_shardings=(data_shard, rep, data_shard, rep),
-        out_shardings=(data_shard, rep),
-    )
-    def _eval_data_batch(data, key: jax.Array, mask, state: TrainingState):
+    def _eval_data_batch_impl(data, key: jax.Array, mask, state: TrainingState):
         pos_b, feat_b = data
         log_q, log_prob_base, delta_log_lik, stats = get_log_prob(
             cnf,
@@ -400,8 +395,35 @@ def setup_training(
             log_w = None
         return log_w, info
 
+    _eval_data_batch = partial(
+        jax.jit,
+        in_shardings=(data_shard, rep, data_shard, rep),
+        out_shardings=(data_shard, rep),
+    )(_eval_data_batch_impl)
+
     def eval_on_data_batch_fn(data, key, mask, state):
         return _eval_data_batch(data, key, mask, state)
+
+    # Chunked test-NLL eval: scan G batches per device dispatch.  Built
+    # ONCE here with `state` as a runtime ARGUMENT — a per-eval jit closing
+    # over the live state would embed the weights as XLA constants and
+    # retrace+recompile the whole G-batch program at every eval (the
+    # params-as-constants pathology, docs/PERF.md "Compile-time anomaly").
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunk_data_shard = NamedSharding(mesh, P(None, "data"))  # [G, batch, ...]
+
+    @partial(
+        jax.jit,
+        in_shardings=(chunk_data_shard, rep, chunk_data_shard, rep),
+    )
+    def _eval_data_chunk(data_g, keys_g, mask_g, state: TrainingState):
+        def body(_, xs):
+            d, k, m = xs
+            return None, _eval_data_batch_impl(d, k, m, state)
+
+        _, outs = jax.lax.scan(body, None, (data_g, keys_g, mask_g))
+        return outs
 
     # `training.eval_plots: false` skips plotting entirely — the default
     # plotter costs a full ODE sampling solve per eval even when the figures
@@ -441,8 +463,12 @@ def setup_training(
             batch_size=eval_batch_size,
             # Bounded-chunk dispatch for the test-NLL loop too (same
             # residual per-dispatch cost; docs/PERF.md "ESS-eval
-            # dispatch tax").
+            # dispatch tax").  `state` rides as a runtime argument into
+            # the once-jitted chunk program — only the lambda is fresh.
             scan_chunk=tcfg.eval_dispatch_chunk,
+            eval_on_test_chunk_fn=(
+                lambda xg, kg, mg: _eval_data_chunk(xg, kg, mg, state)
+            ),
         )
 
         if target_log_prob_fn is not None and log_w_fwd is not None:

@@ -111,10 +111,13 @@ def main():
     print(f"trace+compile: {t1 - t0:.2f}s, first run: "
           f"{time.perf_counter() - t1:.2f}s")
 
+    # Keys precomputed: an eager PRNGKey op inside the timed region costs
+    # a tunnel round-trip per rep (docs/PERF.md "Headline drift", r1->r2).
+    keys = [jax.random.PRNGKey(2 + i) for i in range(args.reps)]
     times = []
     for i in range(args.reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(params, jax.random.PRNGKey(2 + i)))
+        jax.block_until_ready(compiled(params, keys[i]))
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(

@@ -37,15 +37,20 @@ S = 20
 
 
 def timeit(fn, x, reps=5):
-    with host_tracing():  # x is device-committed; placement unaffected
-        out = fn(x)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    # The WHOLE warmup+timing runs under one host_tracing context:
+    # jax.default_device participates in the jit cache key, so warming
+    # inside the context and timing outside splits the cache and forces a
+    # full retrace+recompile on the first timed rep.  Timing inside is
+    # valid — x is device-committed, which pins execution placement.
+    with host_tracing():
         out = fn(x)
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(x)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
     return min(ts)
 
 
@@ -84,8 +89,12 @@ def main():
     B = args.batch or sc["B"]
     N, n_blocks = sc["N"], sc["blocks"]
     D = N * DIM
-    units = ((args.units,) * args.layers
-             if args.units and args.layers else sc["units"])
+    # Each flag works alone: --units keeps the scale's layer count,
+    # --layers keeps the scale's width.
+    units = sc["units"]
+    if args.units or args.layers:
+        width = args.units or units[0]
+        units = (width,) * (args.layers or len(units))
     print(f"scale={args.scale} B={B} N={N} blocks={n_blocks} units={units} "
           f"dtype={args.dtype}", flush=True)
 

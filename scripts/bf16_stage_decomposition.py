@@ -48,15 +48,19 @@ S = 20  # stages per dispatch: amortizes the ~28 ms tunnel latency
 
 
 def timeit(fn, *args, reps=5):
-    with host_tracing():  # args are device-committed; placement unaffected
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    # Whole warmup+timing under ONE host_tracing context: the default
+    # device is part of the jit cache key, so a context change between
+    # warmup and timing would retrace+recompile on the first timed rep.
+    # Args are device-committed, which pins execution placement.
+    with host_tracing():
         out = fn(*args)
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
     return min(ts)
 
 

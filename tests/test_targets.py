@@ -220,3 +220,18 @@ class TestQM9SyntheticGuard:
         self._write_standins(tmp_path, with_marker=False)
         train, _, _ = load_qm9(path=tmp_path)
         assert train.positions.shape == (8, 19, 3)
+
+    def test_stale_marker_refuses_before_download(self, tmp_path, monkeypatch):
+        """A stale marker with MISSING .npy files must refuse up front —
+        never trigger (and then reject) an expensive real download."""
+        from ecnf_tpu.targets import qm9 as qm9_mod
+        from ecnf_tpu.targets.data import load_qm9, SYNTHETIC_QM9_MARKER
+
+        monkeypatch.delenv("ECNF_ALLOW_SYNTHETIC_QM9", raising=False)
+        (tmp_path / SYNTHETIC_QM9_MARKER).write_text("stale marker\n")
+        monkeypatch.setattr(
+            qm9_mod, "qm9pos_download_and_save_data",
+            lambda **kw: pytest.fail("download attempted behind a marker"),
+        )
+        with pytest.raises(RuntimeError, match="marker"):
+            load_qm9(path=tmp_path)

@@ -187,28 +187,39 @@ class TestEvaluation:
             )
 
     def test_eval_fn_scan_chunk_agrees_with_loop(self):
-        """Bounded-chunk dispatch (scan_chunk=G) must reproduce the host
-        loop exactly — same per-batch keys — including a further-info
-        (log-weights) path and a non-divisible remainder."""
+        """Bounded-chunk dispatch (scan_chunk=G + a chunk fn) must
+        reproduce the host loop exactly — same per-batch keys — including
+        a further-info (log-weights) path and a non-divisible remainder.
+        The chunk fn follows the production contract
+        (`training/setup.py:_eval_data_chunk`): one jit, scanning the
+        per-batch fn over the chunk."""
         data = jnp.arange(20.0)
 
         def batch_fn(x, key, mask):
             s = jnp.where(mask, x, 0.0).sum() / jnp.maximum(mask.sum(), 1)
             return x * 2.0, {"m": s, "rand": jax.random.uniform(key)}
 
+        chunk_fn = jax.jit(
+            lambda xg, kg, mg: jax.lax.map(
+                lambda t: batch_fn(t[0], key=t[1], mask=t[2]), (xg, kg, mg)
+            )
+        )
+
         results = {}
         for name, kw in [
             ("loop", dict(use_scan=False)),
-            ("chunk2", dict(scan_chunk=2)),   # 4 batches -> 2 chunks
-            ("chunk3", dict(scan_chunk=3)),   # 3-chunk + 1 remainder batch
-            ("chunk99", dict(scan_chunk=99)),  # clamps to n_batches
+            # scan_chunk without a chunk fn falls back to the host loop.
+            ("chunk_nofn", dict(scan_chunk=2)),
+            ("chunk2", dict(scan_chunk=2, eval_on_test_chunk_fn=chunk_fn)),
+            ("chunk3", dict(scan_chunk=3, eval_on_test_chunk_fn=chunk_fn)),
+            ("chunk99", dict(scan_chunk=99, eval_on_test_chunk_fn=chunk_fn)),
         ]:
             results[name] = eval_fn(
                 data, jax.random.PRNGKey(0), eval_on_test_batch_fn=batch_fn,
                 batch_size=6, **kw,
             )
         info_loop, further_loop, mask_loop = results["loop"]
-        for name in ("chunk2", "chunk3", "chunk99"):
+        for name in ("chunk_nofn", "chunk2", "chunk3", "chunk99"):
             info, further, mask = results[name]
             for k in info_loop:
                 np.testing.assert_allclose(
