@@ -60,9 +60,10 @@ def main():
     parser.add_argument("--freeze-params", action="store_true",
                         help="bake the checkpoint weights into the compiled "
                         "program as XLA constants: ~+3%% steady-state "
-                        "throughput for long-lived serving at the cost of a "
-                        "fold-heavy compile, ~2 min extra startup (BASELINE.md "
-                        "'Headline drift', docs/PERF.md)")
+                        "throughput for long-lived serving; startup cost is "
+                        "path-dependent — negligible for Hutchinson serving, "
+                        "~2 min of fold-heavy compile for exact-trace "
+                        "(docs/PERF.md 'Headline drift' addenda)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
