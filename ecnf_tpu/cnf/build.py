@@ -96,7 +96,7 @@ def build_cnf(
     # MLP EGNN, which is what every shipped config uses.
     fused = None
     if not stable_mlp and len(set(mlp_units)) == 1:
-        from ecnf_tpu.ops.pallas.trace_kernel import egnn_value_and_div_fused
+        from ecnf_tpu.ops.pallas.attic.trace_kernel import egnn_value_and_div_fused
 
         def fused(params, x, t, features, batch_tile=8, interpret=False):
             return egnn_value_and_div_fused(

@@ -51,7 +51,7 @@ class FlowMatchingCNF(NamedTuple):
     ``fused_value_and_div`` is an optional TPU fast path with no reference
     analogue: ``(params, x[B,D], t[B], features, batch_tile, interpret) ->
     (v[B,D], div[B])`` computing the field and its exact divergence in one
-    fused kernel (see `ecnf_tpu/ops/pallas/trace_kernel.py`).  ``None`` when
+    fused kernel (see `ecnf_tpu/ops/pallas/attic/trace_kernel.py`, CLOSED).  ``None`` when
     the architecture doesn't support it; selected via
     ``SolveConfig(fused_trace=True)``.
 

@@ -58,7 +58,7 @@ class SolveConfig:
     method: str = "dopri5"
     trace_column_chunk: Optional[int] = None
     # Use the fused forward+trace Pallas kernel for the exact divergence
-    # (requires cnf.fused_value_and_div; see ops/pallas/trace_kernel.py).
+    # (requires cnf.fused_value_and_div; see ops/pallas/attic/trace_kernel.py (CLOSED)).
     fused_trace: bool = False
     fused_batch_tile: int = 8
     fused_interpret: bool = False  # interpret-mode pallas (CPU tests)

@@ -1,4 +1,8 @@
-"""Fused EGCL forward as a Pallas TPU kernel.
+"""Fused EGCL forward as a Pallas TPU kernel.  **CLOSED — attic.**
+
+Measured loser vs plain XLA (0.85x at LJ13 scale, 0.50x at flagship; see
+docs/PERF.md and `attic/__init__.py`).  Not imported by any live path;
+covered by interpret-mode tests only.
 
 The EGCL's cost is dominated by the ``[B, N, N, U]`` edge-message tensor
 flowing through ~7 dense layers; under plain XLA each layer round-trips

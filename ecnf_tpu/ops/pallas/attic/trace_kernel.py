@@ -1,4 +1,11 @@
 """Fused EGNN forward + exact Jacobian-trace as one Pallas kernel.
+**CLOSED — attic.**
+
+VMEM-infeasible at the headline config; superseded by the shipped
+structured-tangent XLA form (`ops/pallas/tangent_kernel.py`, default-on).
+See docs/PERF.md and `attic/__init__.py`.  Reachable only via the
+`SolveConfig(fused_trace=True)` experiment flag and the interpret-mode
+tests.
 
 The exact-trace path (39/40 of the headline workload's FLOPs) streams
 every tangent tensor through HBM between layers under XLA.  This kernel
@@ -26,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ecnf_tpu.ops.pallas.egcl_kernel import _flatten_egcl_weights
+from ecnf_tpu.ops.pallas.attic.egcl_kernel import _flatten_egcl_weights
 
 
 def _silu(x):

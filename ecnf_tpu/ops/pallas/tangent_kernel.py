@@ -20,10 +20,12 @@ at ~83% of the tangent-tensor bandwidth floor (docs/PERF.md).
 
 ``use_kernel=True`` additionally runs the per-block edge chains in a
 Pallas kernel (grid ``(batch_tiles, K)`` with K minor so the residual /
-weight blocks stay VMEM-resident across columns).  It is numerically exact
-but **measured 4-5x slower** than the XLA form at the headline config
-(Mosaic's compute lowering on ``[Bt*N^2, U]`` tiles; DMA exonerated) —
-kept as tested groundwork, see docs/PERF.md for the full verdict.
+weight blocks stay VMEM-resident across columns).  **CLOSED — not a live
+path.**  It is numerically exact but measured 4-5x slower than the XLA
+form at both LJ13 and flagship scale (Mosaic's compute lowering on
+``[Bt*N^2, U]`` tiles; DMA exonerated) — docs/PERF.md "Pallas at flagship
+(QM9) scale — closed".  Kept only for the interpret-mode correctness
+tests; do not re-litigate without new hardware or shapes.
 
 Scope: the plain-MLP EGNN (every shipped config; ``stable_mlp`` falls back
 to `jax.linearize`).  Forward + trace only — this path serves ODE log-prob

@@ -10,6 +10,12 @@ from typing import Optional, Sequence
 
 import jax
 
+# Within-process re-entrancy guard that does not depend on jax internals:
+# set on our own successful `jax.distributed.initialize` call and checked
+# before probing `jax._src.distributed.global_state` (which fails open to
+# False if those internals ever move — ADVICE r4).
+_INITIALIZED = False
+
 
 def _distributed_client_active() -> bool:
     """Whether `jax.distributed.initialize` has already run in this process.
@@ -45,7 +51,8 @@ def maybe_initialize_distributed(
 
     Returns True when `jax.distributed.initialize` was invoked.
     """
-    if _distributed_client_active():
+    global _INITIALIZED
+    if _INITIALIZED or _distributed_client_active():
         return False
     if coordinator_address is None:
         coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
@@ -58,12 +65,24 @@ def maybe_initialize_distributed(
     kwargs = {}
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        # A concurrent/prior initialize (possibly outside this helper) is a
+        # benign no-op, not a crash; anything else is a real failure.
+        # JAX's wording: "distributed.initialize should only be called
+        # once." — also match the generic phrasing for robustness.
+        msg = str(e).lower()
+        if "only be called once" in msg or "already initialized" in msg:
+            _INITIALIZED = True
+            return False
+        raise
+    _INITIALIZED = True
     return True
 
 

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ecnf_tpu.cnf.build import FlatEGNNField
-from ecnf_tpu.ops.pallas.egcl_kernel import flat_egnn_apply_fused
+from ecnf_tpu.ops.pallas.attic.egcl_kernel import flat_egnn_apply_fused
 
 B, N, DIM = 256, 13, 3
 UNITS = (128, 128, 128)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ecnf_tpu.cnf.build import FlatEGNNField
 from ecnf_tpu.ops.divergence import value_and_exact_divergence
-from ecnf_tpu.ops.pallas.trace_kernel import egnn_value_and_div_fused
+from ecnf_tpu.ops.pallas.attic.trace_kernel import egnn_value_and_div_fused
 
 B, N, DIM = 256, 13, 3
 UNITS, HID = (128, 128, 128), 64

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ecnf_tpu.cnf.build import FlatEGNNField
-from ecnf_tpu.ops.pallas.trace_kernel import egnn_value_and_div_fused
+from ecnf_tpu.ops.pallas.attic.trace_kernel import egnn_value_and_div_fused
 
 TILE = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 B, N, DIM = TILE, 13, 3

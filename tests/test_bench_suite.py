@@ -228,11 +228,27 @@ class TestBaselineTable:
 class TestTimingSanityCheck:
     def test_rejects_dead_buffer_readings(self, monkeypatch):
         """~0 ms reps mean dead buffers after a failed remote compile
-        (docs/PERF.md) — the bench must refuse to report them."""
-        mod = _reload(monkeypatch)
+        (docs/PERF.md) — the bench must refuse to report them.  (The env
+        override forces the floor on; this CPU test process is not a
+        remote-plugin backend.)"""
+        mod = _reload(monkeypatch, ECNF_BENCH_MIN_REP_S="0.002")
         with pytest.raises(RuntimeError, match="implausibly fast"):
             mod._sanity_check_times([0.17, 0.00005, 0.18], "lj13[rk4]")
 
     def test_accepts_real_readings(self, monkeypatch):
-        mod = _reload(monkeypatch)
+        mod = _reload(monkeypatch, ECNF_BENCH_MIN_REP_S="0.002")
         mod._sanity_check_times([0.17, 0.18, 0.21], "lj13[rk4]")  # no raise
+
+    def test_floor_skipped_on_local_backends(self, monkeypatch):
+        """The 2 ms floor is calibrated to (and the dead-buffer failure
+        mode specific to) the tunneled remote plugin; a legitimately fast
+        local backend must not abort the bench (ADVICE r4)."""
+        monkeypatch.delenv("ECNF_BENCH_MIN_REP_S", raising=False)
+        mod = _reload(monkeypatch)
+        # This test process runs on CPU — not a remote plugin — so even an
+        # absurdly fast rep passes through.
+        mod._sanity_check_times([0.00001], "local[fast]")  # no raise
+
+    def test_env_zero_disables_floor(self, monkeypatch):
+        mod = _reload(monkeypatch, ECNF_BENCH_MIN_REP_S="0")
+        mod._sanity_check_times([0.00001], "lj13[rk4]")  # no raise

@@ -29,8 +29,13 @@ class TestMaybeInitializeDistributed:
 
     @pytest.fixture(autouse=True)
     def _clean_env(self, monkeypatch):
+        from ecnf_tpu.parallel import distributed as dist
+
         for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
             monkeypatch.delenv(var, raising=False)
+        # The module-level re-entrancy flag (ADVICE r4) is process-lifetime
+        # by design; tests need a fresh one.
+        monkeypatch.setattr(dist, "_INITIALIZED", False)
         yield
 
     @pytest.fixture
@@ -132,3 +137,88 @@ class TestMaybeInitializeDistributed:
         from ecnf_tpu.parallel import distributed as dist
 
         assert dist._distributed_client_active() is False
+
+    def test_own_flag_guards_reentry_without_jax_internals(
+        self, monkeypatch, _no_backend_touch
+    ):
+        """After a successful initialize, a second call is a no-op even if
+        the jax-internals probe breaks (fails open to False) — the
+        module-level flag decides first (ADVICE r4)."""
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234"
+        ) is True
+        # Simulate jax internals moving: the probe always answers False.
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234"
+        ) is False
+        assert len(calls) == 1
+
+    def test_already_initialized_runtime_error_is_noop(
+        self, monkeypatch, _no_backend_touch
+    ):
+        """A concurrent/out-of-band prior initialize surfaces as an
+        'already initialized' RuntimeError — treated as benign, and the
+        flag is set so we never call initialize again (ADVICE r4)."""
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        calls = []
+
+        def raise_already(**kw):
+            calls.append(kw)
+            # JAX's actual wording (jax/_src/distributed.py).
+            raise RuntimeError(
+                "distributed.initialize should only be called once."
+            )
+
+        monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234"
+        ) is False
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234"
+        ) is False
+        assert len(calls) == 1
+
+    def test_other_runtime_errors_propagate(
+        self, monkeypatch, _no_backend_touch
+    ):
+        import jax
+
+        from ecnf_tpu.parallel import distributed as dist
+
+        def raise_other(**kw):
+            raise RuntimeError("coordinator unreachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", raise_other)
+        monkeypatch.setattr(
+            dist, "_distributed_client_active", lambda: False
+        )
+        with pytest.raises(RuntimeError, match="unreachable"):
+            dist.maybe_initialize_distributed(
+                coordinator_address="127.0.0.1:1234"
+            )
+        # The failure must not latch the flag: a retry still attempts.
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        assert dist.maybe_initialize_distributed(
+            coordinator_address="127.0.0.1:1234"
+        ) is True
+        assert len(calls) == 1

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from ecnf_tpu.cnf.build import FlatEGNNField
-from ecnf_tpu.ops.pallas.egcl_kernel import flat_egnn_apply_fused
+from ecnf_tpu.ops.pallas.attic.egcl_kernel import flat_egnn_apply_fused
 
 
 @pytest.mark.parametrize("n_nodes,mlp_units,hid", [(5, (16, 16), 8), (13, (32,), 16)])

@@ -212,6 +212,21 @@ class TestQM9SyntheticGuard:
         with pytest.raises(RuntimeError, match="SYNTHETIC"):
             load_qm9(path=tmp_path)
 
+    def test_env_opt_in_requires_explicit_truthy(self, tmp_path, monkeypatch):
+        """Only an explicit truthy value opts in — "false"/"no"/garbage
+        must refuse, not silently consent (ADVICE r4)."""
+        from ecnf_tpu.targets.data import load_qm9
+
+        self._write_standins(tmp_path)
+        for bad in ("false", "no", "off", "nope"):
+            monkeypatch.setenv("ECNF_ALLOW_SYNTHETIC_QM9", bad)
+            with pytest.raises(RuntimeError, match="SYNTHETIC"):
+                load_qm9(path=tmp_path)
+        for good in ("true", "TRUE", "yes", "1"):
+            monkeypatch.setenv("ECNF_ALLOW_SYNTHETIC_QM9", good)
+            train, _, _ = load_qm9(path=tmp_path)
+            assert train.positions.shape == (8, 19, 3)
+
     def test_unmarked_data_loads_freely(self, tmp_path, monkeypatch):
         """Fixture/real data without the marker is untouched by the guard."""
         from ecnf_tpu.targets.data import load_qm9

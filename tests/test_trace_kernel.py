@@ -6,7 +6,7 @@ import pytest
 
 from ecnf_tpu.cnf.build import FlatEGNNField
 from ecnf_tpu.ops.divergence import value_and_exact_divergence
-from ecnf_tpu.ops.pallas.trace_kernel import egnn_value_and_div_fused
+from ecnf_tpu.ops.pallas.attic.trace_kernel import egnn_value_and_div_fused
 
 
 @pytest.mark.parametrize("n_nodes,units,hid", [(5, (16, 16), 8), (13, (32,), 16)])
