@@ -117,6 +117,12 @@ _COLD_START = {}
 _FIRST_TRACE_SEEN = [False]
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _note_cold_start(name: str, trace_s: float, compile_s: float,
                      first_run_s: float) -> None:
     entry = {
@@ -147,6 +153,15 @@ def _record_details(name: str, times, batch_per_run: float, flop_count=None):
         u = mfu(flop_count, min(times), jax.devices()[0].device_kind,
                 n_devices=n_dev)
         if u is not None:
+            if u > 1.05:
+                # A computed utilization above chip peak means the timed
+                # sync did not cover execution (the tunneled plugin's
+                # block_until_ready flake) — fail loudly rather than
+                # record garbage.
+                raise RuntimeError(
+                    f"{name}: computed MFU {u:.2f} exceeds chip peak — "
+                    "invalid timing (non-blocking sync); re-measure with "
+                    "the device_get protocol")
             det["mfu"] = round(u, 4)
         if flop_count.has_while:
             # Adaptive solves trace a ONE-trip while body; the real run
@@ -405,6 +420,12 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
     from ecnf_tpu.training.state import init_training_state, make_update_fn
 
     n_nodes, batch = 19, 256
+    # Micro-batched gradient (grad = mean of k chunk grads, identical
+    # update math): per-sample step cost rises superlinearly with batch
+    # (50.2/61.2/70.4 us at B=128/256/512), so k=4 is ~1.24x faster at
+    # B=256 (docs/PERF.md "Train-step roofline").  =1 for the one-shot
+    # reference-RNG-stream form.
+    microbatch = int(os.environ.get("ECNF_BENCH_MICROBATCH", "4"))
     cnf = _qm9_cnf()
     opt = build_optimizer(1e-4, use_schedule=False)
     rng = np.random.default_rng(0)
@@ -417,7 +438,7 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
             cnf, opt, jax.random.PRNGKey(0), data[0, :2], feats[:2],
             use_ema=True,
         )
-        update = make_update_fn(cnf, opt, use_ema=True)
+        update = make_update_fn(cnf, opt, use_ema=True, microbatch=microbatch)
 
         def run(st, xs):
             def body(s, xb):
@@ -442,25 +463,40 @@ def bench_qm9_train_step(reps: int = 3, n_steps: int = 100) -> float:
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t1 = time.perf_counter()
+    # Timing protocol: dispatch + device_get of the scalar loss, minus the
+    # measured transfer RTT.  On this tunneled plugin `block_until_ready`
+    # is UNRELIABLE for some program shapes — with the micro-batched
+    # (nested-scan) step it returns while execution is still in flight,
+    # reading an impossible ~53,000 steps/s (~350 "MFU"); a forced
+    # device_get round-trip cannot complete early.  Diagnosed in
+    # scripts/debug_fwd_timing*.py; same protocol as
+    # scripts/train_step_profile.py.
     state, loss = compiled(state, data)
-    jax.block_until_ready(loss)
+    first_loss = float(jax.device_get(loss))
     t2 = time.perf_counter()
+    assert np.isfinite(first_loss), "qm9_train: non-finite first loss"
     print(f"qm9_train: trace {t_trace:.2f}s compile {t1 - t0:.2f}s "
           f"first run {t2 - t1:.2f}s", file=sys.stderr)
     _note_cold_start("qm9_train_step", t_trace, t1 - t0, t2 - t1)
 
+    state, loss = compiled(state, data)  # extra warmup for the RTT probe
+    _ = jax.device_get(loss)
+    t_rtt = min(_timed(lambda: jax.device_get(loss)) for _ in range(5))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         state, loss = compiled(state, data)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
+        lv = float(jax.device_get(loss))
+        times.append(time.perf_counter() - t0 - t_rtt)
+    assert np.isfinite(lv), "qm9_train: non-finite loss — invalid measurement"
     _sanity_check_times(times, "qm9_train")
     best = min(times)
     steps_s = n_steps / best / jax.device_count()
     _record_details("qm9_train_step", times, n_steps, count)
+    DETAILS.setdefault("qm9_train_step", {})["microbatch"] = microbatch
     print(
-        f"qm9_train: batch={batch} {best / n_steps * 1e3:.2f} ms/step -> "
+        f"qm9_train: batch={batch} microbatch={microbatch} "
+        f"{best / n_steps * 1e3:.2f} ms/step -> "
         f"{steps_s:.1f} steps/s/chip",
         file=sys.stderr,
     )

@@ -36,6 +36,7 @@ class FlatEGNNField(nn.Module):
     mlp_units: Sequence[int]
     stable_mlp: bool = False
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"; params stay f32
+    remat_blocks: object = False  # False | True | "dots"; see models/egnn.py
 
     @nn.compact
     def __call__(
@@ -56,6 +57,7 @@ class FlatEGNNField(nn.Module):
             n_invariant_feat_hidden=self.n_invariant_feat_hidden,
             stable_mlp=self.stable_mlp,
             dtype=dtype,
+            remat_blocks=self.remat_blocks,
         )(pos, h, t_emb)
         return jnp.reshape(vectors, (B, self.n_nodes * self.dim))
 
@@ -72,12 +74,15 @@ def build_cnf(
     n_features: int,
     stable_mlp: bool = False,
     compute_dtype: Optional[str] = None,
+    remat_blocks: object = False,
 ) -> FlowMatchingCNF:
     """Build the molecular-coordinate CNF (reference `build_cnf.py:34-102`).
 
     ``compute_dtype="bfloat16"`` runs the EGNN's MLP stack in bf16
     (parameters and geometry stay float32) — ~2x faster on TPU where the
-    edge tensors are HBM-bandwidth-bound.
+    edge tensors are HBM-bandwidth-bound.  ``remat_blocks`` rematerializes
+    each EGCL block in backward passes (training-only lever; see
+    `models/egnn.py`).
     """
     base = ZeroCoMGaussian(n_nodes=n_frames, dim=dim, scale=base_scale)
     net = FlatEGNNField(
@@ -90,6 +95,7 @@ def build_cnf(
         mlp_units=tuple(mlp_units),
         stable_mlp=stable_mlp,
         compute_dtype=compute_dtype,
+        remat_blocks=remat_blocks,
     )
     # Fused forward+exact-divergence Pallas kernel (optional fast path for
     # the exact-trace ODE solves).  Only built for the plain constant-width

@@ -156,6 +156,15 @@ class EGNN(nn.Module):
     normalization_constant: float = 1.0
     variance_scaling_init: float = 0.001
     dtype: Optional[jnp.dtype] = None
+    # Rematerialize each EGCL block in the backward pass (jax.checkpoint):
+    # the edge-MLP activations ([B, N, N, U] x ~10 tensors/block) dominate
+    # HBM traffic, and the training backward runs at ~55-70% of achievable
+    # bandwidth when they round-trip HBM between forward and backward.
+    # False = store everything (default; measured fastest at QM9 scale),
+    # True = full remat, "dots" = save matmul outputs, recompute only the
+    # elementwise tail (jax.checkpoint_policies.dots_saveable).  Measured
+    # A/B: scripts/train_step_profile.py / docs/PERF.md.
+    remat_blocks: object = False
 
     @nn.compact
     def __call__(
@@ -180,13 +189,22 @@ class EGNN(nn.Module):
         initial_vectors = vectors
         h = node_features
 
-        for _ in range(self.n_blocks):
+        # Explicit names keep parameter paths (EGCL_i) identical with and
+        # without remat, so checkpoints are interchangeable.
+        if self.remat_blocks == "dots":
+            egcl_cls = nn.remat(
+                EGCL, policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat_blocks:
+            egcl_cls = nn.remat(EGCL)
+        else:
+            egcl_cls = EGCL
+        for i in range(self.n_blocks):
             # Time conditioning: Dense over [h, t_emb] with the per-node
             # repeat of t_emb fused away (reference `egnn.py:166-167`).
             h = ConcatDense(self.n_invariant_feat_hidden, dtype=self.dtype)(
                 h, global_features[:, None, :]
             ).astype(positions.dtype)
-            vectors, h = EGCL(
+            vectors, h = egcl_cls(
                 mlp_units=self.mlp_units,
                 n_invariant_feat_hidden=self.n_invariant_feat_hidden,
                 activation_fn=self.activation_fn,
@@ -196,6 +214,7 @@ class EGNN(nn.Module):
                 variance_scaling_init=self.variance_scaling_init,
                 stable_mlp=self.stable_mlp,
                 dtype=self.dtype,
+                name=f"EGCL_{i}",
             )(vectors, h)
 
         if self.residual_x:

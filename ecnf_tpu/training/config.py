@@ -86,6 +86,14 @@ class TrainingConfig:
     # ~25-400 steps) are otherwise host-latency-bound; groups never cross
     # an eval/checkpoint iteration, so schedules/logging are unchanged.
     epochs_per_dispatch: int = 1
+    # Compute each step's gradient as the mean of this many sequential
+    # micro-batch chunk gradients (identical update math; RNG draws
+    # assigned per chunk).  Per-sample step cost rises superlinearly with
+    # batch at flagship scale (50.2/61.2/70.4 us per sample at B=128/256/
+    # 512), so microbatch=2 at B=256 is ~1.21x faster
+    # (scripts/train_step_profile.py, docs/PERF.md "Train-step roofline").
+    # None/1 = reference one-shot gradient (bit-identical RNG stream).
+    microbatch: Optional[int] = None
     # Eval batches per device dispatch (reverse-ESS and test-NLL loops).
     # 1 = pure host loop (one jitted call per batch).  Measured at the
     # LJ13 reference eval scale (10,000 samples / batch 64): scanning 8

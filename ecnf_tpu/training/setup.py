@@ -217,6 +217,7 @@ def setup_training(
         use_ema=tcfg.use_ema,
         ema_beta=tcfg.ema_beta,
         mesh=None,  # the epoch runner below is sharded as a whole
+        microbatch=tcfg.microbatch,
     )
 
     def init_state(key: jax.Array) -> TrainingState:

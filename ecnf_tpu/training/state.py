@@ -63,21 +63,59 @@ def make_update_fn(
     use_ema: bool = False,
     ema_beta: float = 0.999,
     mesh=None,
+    microbatch: Optional[int] = None,
 ) -> Callable[[TrainingState, jax.Array, Optional[jax.Array]], Tuple[TrainingState, dict]]:
     """Build the jitted (and, with a mesh, GSPMD-sharded) train step.
 
     Returns ``update(state, x_data, features) -> (state, info)`` with info
     keys ``loss``, ``grad_norm``, ``update_norm`` (reference
     `gradient_step.py:39-44`).
+
+    ``microbatch=k`` computes the batch gradient as the mean of ``k``
+    sequential chunk gradients (identical math — grad of a mean is the
+    mean of chunk grads; the per-sample RNG draws are assigned per chunk
+    instead of per batch, a different but distributionally identical
+    stream).  TPU-measured win at the flagship scale: per-sample step cost
+    RISES superlinearly with batch (50.2/61.2/70.4 us at B=128/256/512,
+    `scripts/train_step_profile.py`), so k=2 at B=256 is ~1.21x faster at
+    unchanged update semantics (docs/PERF.md "Train-step roofline").
     """
+
+    def _grads(state, x_data, features, subkey):
+        if microbatch is None or microbatch <= 1:
+            return jax.grad(flow_matching_loss_fn, argnums=1, has_aux=True)(
+                cnf, state.params, x_data, subkey, features
+            )
+        k = microbatch
+        B = x_data.shape[0]
+        assert B % k == 0, f"batch {B} not divisible by microbatch {k}"
+        chunks = x_data.reshape(k, B // k, *x_data.shape[1:])
+        feats_c = (
+            None
+            if features is None
+            else features.reshape(k, B // k, *features.shape[1:])
+        )
+        subkeys = jax.random.split(subkey, k)
+
+        def one_chunk(gsum, inp):
+            xc, fc, kc = inp
+            g, info = jax.grad(
+                flow_matching_loss_fn, argnums=1, has_aux=True
+            )(cnf, state.params, xc, kc, fc)
+            return jax.tree_util.tree_map(jnp.add, gsum, g), info["loss"]
+
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p), state.params
+        )
+        gsum, losses = jax.lax.scan(one_chunk, g0, (chunks, feats_c, subkeys))
+        grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+        return grads, {"loss": jnp.mean(losses)}
 
     def update(
         state: TrainingState, x_data: jax.Array, features: Optional[jax.Array]
     ) -> Tuple[TrainingState, dict]:
         key, subkey = jax.random.split(state.key)
-        grads, info = jax.grad(flow_matching_loss_fn, argnums=1, has_aux=True)(
-            cnf, state.params, x_data, subkey, features
-        )
+        grads, info = _grads(state, x_data, features, subkey)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, params=state.params
         )

@@ -163,3 +163,42 @@ class TestVectorNet:
         t = jnp.zeros(4)
         params = net.init(jax.random.PRNGKey(1), x, t)
         assert net.apply(params, x, t).shape == (4, 2)
+
+
+class TestRematBlocks:
+    """`remat_blocks=True` must be a pure perf lever: identical parameter
+    tree (explicit EGCL_i names keep checkpoints interchangeable),
+    identical forward values, identical gradients."""
+
+    def test_params_forward_and_grad_identical(self):
+        net = _make_egnn()
+        net_rm = EGNN(
+            n_blocks=2, mlp_units=(16,), n_invariant_feat_hidden=8,
+            remat_blocks=True,
+        )
+        params, pos, h, t_emb = _init_egnn(net, jax.random.PRNGKey(10))
+        params_rm = net_rm.init(jax.random.PRNGKey(9), pos, h, t_emb)
+
+        paths = jax.tree_util.tree_structure(params)
+        paths_rm = jax.tree_util.tree_structure(params_rm)
+        assert paths == paths_rm
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(params_rm),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        out = net.apply(params, pos, h, t_emb)
+        out_rm = net_rm.apply(params, pos, h, t_emb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_rm),
+                                   rtol=0, atol=0)
+
+        def loss(p, n):
+            return jnp.sum(n.apply(p, pos, h, t_emb) ** 2)
+
+        g = jax.grad(loss)(params, net)
+        g_rm = jax.grad(loss)(params, net_rm)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_rm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)

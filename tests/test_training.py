@@ -279,3 +279,113 @@ class TestMoGEndToEnd:
         # Untrained model KL is O(10); trained should be clearly smaller.
         assert np.isfinite(kl)
         assert kl < 3.0, f"KL too large after training: {kl}"
+
+
+class TestMicrobatch:
+    """`microbatch=k` must implement grad = mean of k chunk grads with the
+    per-chunk key split, then the identical optimizer/EMA path — a pure
+    perf lever (docs/PERF.md "Train-step roofline")."""
+
+    def _setup(self, microbatch=None, use_ema=True):
+        cnf = build_mlp_cnf(dim=2, sigma_min=1e-4, base_scale=5.0,
+                            features=(16, 16))
+        opt = build_optimizer(1e-3, use_schedule=False)
+        state = init_training_state(
+            cnf, opt, jax.random.PRNGKey(0), example_x=jnp.zeros((2, 2)),
+            use_ema=use_ema,
+        )
+        update = make_update_fn(cnf, opt, use_ema=use_ema,
+                                microbatch=microbatch)
+        return cnf, opt, state, update
+
+    def test_matches_handrolled_mean_of_chunk_grads(self):
+        import optax
+        from ecnf_tpu.cnf.loss import flow_matching_loss_fn
+
+        cnf, opt, state, update = self._setup(microbatch=2)
+        data = jax.random.normal(jax.random.PRNGKey(5), (8, 2))
+
+        new_state, info = update(state, data, None)
+
+        # Hand-rolled twin of the documented semantics.
+        key, sub = jax.random.split(state.key)
+        subs = jax.random.split(sub, 2)
+        grads, losses = [], []
+        for i in range(2):
+            g, inf = jax.grad(flow_matching_loss_fn, argnums=1,
+                              has_aux=True)(
+                cnf, state.params, data[4 * i: 4 * (i + 1)], subs[i], None)
+            grads.append(g)
+            losses.append(inf["loss"])
+        mean_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+        updates, _ = opt.update(mean_g, state.opt_state, params=state.params)
+        expect_params = optax.apply_updates(state.params, updates)
+
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(expect_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            float(info["loss"]), float((losses[0] + losses[1]) / 2),
+            rtol=1e-6)
+        assert np.isfinite(float(info["grad_norm"]))
+        assert np.isfinite(float(info["update_norm"]))
+
+    def test_microbatch_one_bitwise_equals_default(self):
+        _, _, state, update_mb1 = self._setup(microbatch=1)
+        _, _, state2, update_none = self._setup(microbatch=None)
+        data = jax.random.normal(jax.random.PRNGKey(6), (8, 2))
+        s1, i1 = update_mb1(state, data, None)
+        s2, i2 = update_none(state2, data, None)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(i1["loss"]) == float(i2["loss"])
+
+    def test_loss_decreases_with_microbatch(self):
+        cnf, _, state, update = self._setup(microbatch=4, use_ema=False)
+        target = MoGTarget()
+        data = target.sample(jax.random.PRNGKey(1), (256,))
+        losses = []
+        for _ in range(60):
+            state, info = update(state, data, None)
+            losses.append(float(info["loss"]))
+        # Per-chunk RNG draws make single losses noisy; compare means.
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+        assert np.isfinite(losses).all()
+
+    def test_features_chunked_not_broadcast(self):
+        """Per-sample integer features must follow their samples into
+        chunks (regression guard for the reshape-vs-slice distinction)."""
+        cnf = build_cnf(
+            n_frames=3, dim=2, sigma_min=0.01, base_scale=1.0,
+            n_blocks_egnn=1, mlp_units=(8,), n_invariant_feat_hidden=4,
+            time_embedding_dim=4, n_features=2,
+        )
+        opt = build_optimizer(1e-3, use_schedule=False)
+        feats = jnp.asarray([[0, 0, 0]] * 2 + [[1, 1, 1]] * 2,
+                            dtype=jnp.int32)
+        x = jax.random.normal(jax.random.PRNGKey(7), (4, 6))
+        state = init_training_state(
+            cnf, opt, jax.random.PRNGKey(0), x[:2], feats[:2])
+        update = make_update_fn(cnf, opt, microbatch=2)
+        from ecnf_tpu.cnf.loss import flow_matching_loss_fn
+        new_state, info = update(state, x, feats)
+
+        key, sub = jax.random.split(state.key)
+        subs = jax.random.split(sub, 2)
+        grads = []
+        for i in range(2):
+            g, _ = jax.grad(flow_matching_loss_fn, argnums=1,
+                            has_aux=True)(
+                cnf, state.params, x[2 * i: 2 * (i + 1)], subs[i],
+                feats[2 * i: 2 * (i + 1)])
+            grads.append(g)
+        import optax
+        mean_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+        updates, _ = opt.update(mean_g, state.opt_state, params=state.params)
+        expect_params = optax.apply_updates(state.params, updates)
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(expect_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
