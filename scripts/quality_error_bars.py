@@ -48,7 +48,7 @@ import numpy as np
 
 from ecnf_tpu.cnf.build import build_cnf
 from ecnf_tpu.cnf.sampling import SolveConfig, get_log_prob, sample_and_log_prob_cnf
-from ecnf_tpu.targets.data import load_dw4, load_lj13
+from ecnf_tpu.targets.data import load_aldp, load_dw4, load_lj13
 from ecnf_tpu.targets.energies import double_well_log_prob, lennard_jones_log_prob
 from ecnf_tpu.training.checkpoints import get_latest_checkpoint, restore_checkpoint
 from ecnf_tpu.training.optim import build_optimizer
@@ -69,6 +69,24 @@ TARGETS = {
         load=lambda: load_lj13(1000), test_size=1000,
         log_prob=lambda flat: lennard_jones_log_prob(flat.reshape(-1, 13, 3)),
         n_iter=400, batch=64, train_size=1000,
+    ),
+    # ALDP has no tractable energy: NLL only (Hutchinson K=1 matching the
+    # soak eval, `examples/configs/aldp_soak.yaml`), evaluated on the
+    # DISJOINT last-400-frame split with the EMA parameters (the reference
+    # swaps EMA in for the final eval, `setup_training.py:229-230`).
+    # Hutchinson makes per-point log_q stochastic, so the harness also
+    # reports the mean-NLL spread across 5 probe keys.
+    "aldp": dict(
+        n_nodes=22, dim=3, sigma_min=1e-6, base_scale=0.2,
+        n_blocks=3, mlp_units=(64, 64), hidden=32, t_emb=8,
+        load=lambda: load_aldp(
+            train_path="data/aldp_500K_train_mini.h5",
+            test_path="data/aldp_500K_train_mini.h5",
+            train_n_points=1600, test_n_points=400, test_skip_n=1600,
+        ),
+        test_size=400, log_prob=None, n_iter=4000, batch=256,
+        train_size=1600, n_features=22, approx=True, use_ema=True,
+        peak_lr=2e-4, warmup=50,
     ),
 }
 
@@ -138,50 +156,89 @@ def main():
             n_frames=t["n_nodes"], dim=t["dim"], sigma_min=t["sigma_min"],
             base_scale=t["base_scale"], n_blocks_egnn=t["n_blocks"],
             mlp_units=t["mlp_units"], n_invariant_feat_hidden=t["hidden"],
-            time_embedding_dim=t["t_emb"], n_features=1,
+            time_embedding_dim=t["t_emb"], n_features=t.get("n_features", 1),
             compute_dtype="bfloat16",
         )
         # Optimizer state must match the trainer's structure for restore
         # (schedule on, per the shipped configs).
         n_batches = t["train_size"] // t["batch"]
         optimizer = build_optimizer(
-            1e-4, use_schedule=True, peak_lr=1e-4, end_lr=0.0,
-            n_iter_warmup=10, n_iter_total=t["n_iter"] * n_batches,
+            1e-4, use_schedule=True, peak_lr=t.get("peak_lr", 1e-4),
+            end_lr=0.0, n_iter_warmup=t.get("warmup", 10),
+            n_iter_total=t["n_iter"] * n_batches,
         )
         state0 = init_training_state(
-            cnf, optimizer, jax.random.PRNGKey(0), test_flat[:2], feats[:2]
+            cnf, optimizer, jax.random.PRNGKey(0), test_flat[:2], feats[:2],
+            use_ema=t.get("use_ema", False),
         )
     latest = get_latest_checkpoint(args.ckpt_dir)
     assert latest, f"no checkpoint in {args.ckpt_dir}"
     print(f"restoring {latest}", flush=True)
     state = restore_checkpoint(latest, state0)
-    params = state.params
+    # EMA-trained targets are evaluated at the EMA parameters, matching the
+    # reference's final-iteration eval swap (`setup_training.py:229-230`).
+    params = state.ema_params if t.get("use_ema") else state.params
 
     # ---- test NLL + forward ESS (deterministic: exact trace) ----
     nll_chunk = args.nll_chunk
     assert t["test_size"] % nll_chunk == 0
 
+    approx = bool(t.get("approx", False))
     with host_tracing():
         nll_fn = jax.jit(lambda x, f, k: get_log_prob(
-            cnf, params, x, k, f, cfg=cfg))
-    log_qs = []
+            cnf, params, x, k, f, cfg=cfg, approx=approx))
+    # Exact trace: one key (log_q deterministic).  Hutchinson (ALDP): the
+    # per-point log_q is stochastic in the probe key, so run K keys and
+    # report the mean-NLL spread across them alongside the point bootstrap.
+    n_nll_keys = args.eval_seeds if approx else 1
+    per_key_log_q = []
     t0 = time.perf_counter()
-    key = jax.random.PRNGKey(0)
-    for i in range(0, t["test_size"], nll_chunk):
-        log_q, _, _ = nll_fn(test_flat[i:i + nll_chunk],
-                             feats[i:i + nll_chunk], key)
-        log_qs.append(np.asarray(jax.device_get(log_q), dtype=np.float64))
-    log_q = np.concatenate(log_qs)
-    print(f"NLL pass: {time.perf_counter() - t0:.1f}s "
+    for ki in range(n_nll_keys):
+        key = jax.random.PRNGKey(ki)
+        log_qs = []
+        for i in range(0, t["test_size"], nll_chunk):
+            log_q, _, _ = nll_fn(test_flat[i:i + nll_chunk],
+                                 feats[i:i + nll_chunk], key)
+            log_qs.append(np.asarray(jax.device_get(log_q), dtype=np.float64))
+        per_key_log_q.append(np.concatenate(log_qs))
+    log_q = per_key_log_q[0]
+    print(f"NLL pass ({n_nll_keys} key(s)): {time.perf_counter() - t0:.1f}s "
           f"({np.isfinite(log_q).sum()}/{len(log_q)} finite)", flush=True)
+
+    nll_mean = float(np.mean(log_q[np.isfinite(log_q)]))
+    nll_lo, nll_hi, nll_sd = bootstrap_ci(
+        log_q[np.isfinite(log_q)], np.mean, args.n_boot)
+    nll_per_key = [float(np.mean(q[np.isfinite(q)])) for q in per_key_log_q]
+
+    if t["log_prob"] is None:
+        out = {
+            "target": args.target,
+            "checkpoint": latest,
+            "method": args.method,
+            "eval_params": "ema" if t.get("use_ema") else "raw",
+            "nll_estimator": "hutchinson_k1" if approx else "exact",
+            "n_test": int(t["test_size"]),
+            "n_finite_log_q": int(np.isfinite(log_q).sum()),
+            "test_log_lik": {
+                "mean": round(nll_mean, 4),
+                "ci95": [round(nll_lo, 4), round(nll_hi, 4)],
+                "boot_sd": round(nll_sd, 5),
+                "per_probe_key": [round(v, 4) for v in nll_per_key],
+                "probe_key_sd": round(float(np.std(nll_per_key, ddof=1)), 5)
+                if len(nll_per_key) > 1 else None,
+            },
+            "n_boot": args.n_boot,
+        }
+        print(json.dumps(out, indent=2), flush=True)
+        if args.json:
+            Path(args.json).parent.mkdir(parents=True, exist_ok=True)
+            Path(args.json).write_text(json.dumps(out, indent=2) + "\n")
+        return
 
     log_p = np.asarray(jax.device_get(t["log_prob"](test_flat)),
                        dtype=np.float64)
     log_w_fwd = log_p - log_q
 
-    nll_mean = float(np.mean(log_q[np.isfinite(log_q)]))
-    nll_lo, nll_hi, nll_sd = bootstrap_ci(
-        log_q[np.isfinite(log_q)], np.mean, args.n_boot)
     fess = np_forward_ess(log_w_fwd)
     fess_lo, fess_hi, fess_sd = bootstrap_ci(
         log_w_fwd, np_forward_ess, args.n_boot)
