@@ -67,7 +67,10 @@ CPU_BASELINES = {
     ("lj13", "dopri5"): 0.36,   # samples/s; 19.4 TF/run -> 0.145 TF/s OK
     ("qm9_hutch4", "dopri5"): 0.15,  # samples/s; 66.4 TF/run (2026-08-21)
     ("qm9_hutch4", "rk4"): 0.25,     # samples/s; 43.9 TF/run (2026-08-21)
-    ("qm9_train_step", ""): 0.03,    # steps/s, batch 256 (2026-08-21)
+    # steps/s, batch 256; measured in the mb4 form for a matched
+    # comparison (one-shot CPU: 0.028; mb4 is faster on CPU too — smaller
+    # working sets; measurements/r5/cpu_mb4_baseline.txt, 2026-08-21)
+    ("qm9_train_step", ""): 0.04,
 }
 
 BATCH = int(os.environ.get("ECNF_BENCH_BATCH", "48"))
