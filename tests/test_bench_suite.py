@@ -252,3 +252,27 @@ class TestTimingSanityCheck:
     def test_env_zero_disables_floor(self, monkeypatch):
         mod = _reload(monkeypatch, ECNF_BENCH_MIN_REP_S="0")
         mod._sanity_check_times([0.00001], "lj13[rk4]")  # no raise
+
+
+class TestImpossibleMfuGuard:
+    def test_record_details_rejects_mfu_above_peak(self, monkeypatch):
+        """The tunneled plugin's block_until_ready flake once produced a
+        'measured' 350 MFU (52,959 steps/s); _record_details must refuse
+        to record such a reading (docs/PERF.md 'Timing protocol')."""
+        from ecnf_tpu.ops.flops import FlopCount
+        import ecnf_tpu.ops.flops as flops
+
+        mod = _reload(monkeypatch)
+        monkeypatch.setattr(flops, "mfu", lambda *a, **k: 350.0)
+        with pytest.raises(RuntimeError, match="exceeds chip peak"):
+            mod._record_details("t", [1.0], 48.0,
+                                FlopCount(bf16=1e12, f32=0.0))
+
+    def test_plausible_mfu_recorded(self, monkeypatch):
+        from ecnf_tpu.ops.flops import FlopCount
+        import ecnf_tpu.ops.flops as flops
+
+        mod = _reload(monkeypatch)
+        monkeypatch.setattr(flops, "mfu", lambda *a, **k: 0.53)
+        mod._record_details("t", [1.0], 48.0, FlopCount(bf16=1e12, f32=0.0))
+        assert mod.DETAILS["t"]["mfu"] == 0.53
